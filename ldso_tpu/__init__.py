@@ -1,0 +1,33 @@
+"""ldso_tpu — a TPU-native direct visual SLAM framework (LDSO-class).
+
+A from-scratch JAX / XLA / Pallas rebuild of the capabilities of
+tum-vision/LDSO (Direct Sparse Odometry with Sim(3) loop closure).
+See SURVEY.md for the structural blueprint and reference citations.
+
+Design stance (TPU-first, not a port):
+  * All per-pixel / per-point / per-residual loops are batched array programs
+    or Pallas kernels with *static shapes* (capacity-padded pools + masks).
+  * Sequential decision logic (LM accept/reject, keyframe policy, window
+    membership) lives either in `lax.while_loop`s inside one jitted program
+    (hot paths) or in thin host orchestration between jitted steps.
+  * float32 on device for all hot kernels; float64 only for the tiny stitched
+    window solve and host-side pose bookkeeping (the reference stitches its
+    Hessian in double: AccumulatedTopHessian.cc:144).
+"""
+
+import jax
+
+# Dtype policy (verified on a real v5e chip):
+#  * float64 does NOT compile on the TPU backend — all device code is
+#    explicitly float32 (bfloat16 only inside validated kernels). The
+#    reference's float64 Hessian stitching (AccumulatedTopHessian.cc:144)
+#    is replaced by scale-balanced float32 accumulation on device plus
+#    numpy float64 on host for the tiny stitched solves and pose
+#    bookkeeping. jax x64 stays DISABLED so no accidental f64 reaches TPU.
+#  * TPU matmuls default to bfloat16 passes, which costs ~3 digits on 4x4
+#    pose chains and small Hessian algebra (measured: 6.3e-3 vs 3.9e-6
+#    chain drift). Default to full-f32 matmul precision; throughput-bound
+#    kernels opt down explicitly after validation.
+jax.config.update("jax_default_matmul_precision", "highest")
+
+__version__ = "0.1.0"

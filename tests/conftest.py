@@ -1,0 +1,31 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh.
+
+Multi-chip TPU hardware is unavailable in CI; sharding correctness is
+validated on host CPU devices instead (the driver separately dry-run
+compiles the multi-chip path via __graft_entry__.dryrun_multichip).
+"""
+
+import os
+
+# Must be set before the first backend is initialized.
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+# The environment's sitecustomize force-registers a remote TPU backend and
+# overrides platform selection after import; undo that for unit tests.
+jax.config.update("jax_platforms", "cpu")
+# Tests validate numerics in float64 reference runs on CPU; production
+# device code is explicitly float32 (see ldso_tpu/__init__.py).
+jax.config.update("jax_enable_x64", True)
+
+import ldso_tpu  # noqa: F401,E402
+
+
+def pytest_configure(config):
+    assert jax.devices()[0].platform == "cpu", "tests must run on CPU devices"
