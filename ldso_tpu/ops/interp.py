@@ -1,0 +1,63 @@
+"""Bilinear interpolation gathers (device).
+
+Replaces the reference's getInterpolatedElement* family
+(include/internal/GlobalFuncs.h:55-230) with batched flat-index gathers.
+All functions take arbitrary-shape coordinate arrays and broadcast.
+
+Coordinates are (x, y) with x along width (axis 1), matching the reference.
+Out-of-range coordinates are clamped; callers are expected to mask validity
+separately (every caller in this package already tracks an in-bounds mask,
+like the reference's OOB status checks).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def _gather_flat(img_flat, idx):
+    # img_flat: (H*W,) or (H*W, C); idx: (...,) int32
+    return jnp.take(img_flat, idx, axis=0, indices_are_sorted=False, unique_indices=False)
+
+
+def bilinear(img, x, y):
+    """img: (H, W) or (H, W, C); x, y: (...) float. Returns (...) or (..., C)."""
+    H, W = img.shape[0], img.shape[1]
+    x = jnp.clip(x, 0.0, W - 1.001)
+    y = jnp.clip(y, 0.0, H - 1.001)
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    dx = (x - x0).astype(img.dtype)
+    dy = (y - y0).astype(img.dtype)
+    xi = x0.astype(jnp.int32)
+    yi = y0.astype(jnp.int32)
+
+    flat = img.reshape((H * W,) + img.shape[2:])
+    idx = yi * W + xi
+    v00 = _gather_flat(flat, idx)
+    v01 = _gather_flat(flat, idx + 1)
+    v10 = _gather_flat(flat, idx + W)
+    v11 = _gather_flat(flat, idx + W + 1)
+
+    if img.ndim == 3:
+        dx = dx[..., None]
+        dy = dy[..., None]
+    dxdy = dx * dy
+    # same factorization as getInterpolatedElement (GlobalFuncs.h:55-67)
+    return (dxdy * v11 + (dy - dxdy) * v10 + (dx - dxdy) * v01
+            + (1.0 - dx - dy + dxdy) * v00)
+
+
+def nearest(img, x, y):
+    """Nearest-neighbour gather with clamping."""
+    H, W = img.shape[0], img.shape[1]
+    xi = jnp.clip(jnp.round(x), 0, W - 1).astype(jnp.int32)
+    yi = jnp.clip(jnp.round(y), 0, H - 1).astype(jnp.int32)
+    flat = img.reshape((H * W,) + img.shape[2:])
+    return _gather_flat(flat, yi * W + xi)
+
+
+def in_bounds(x, y, w: int, h: int, border: float = 2.0):
+    """The reference's ubiquitous OOB guard (e.g. ResidualProjections.h:75-80
+    checks against [1.1, wM3G]); border ~= patternPadding + 1."""
+    return (x > border) & (x < w - border - 1) & (y > border) & (y < h - border - 1)

@@ -1,0 +1,129 @@
+"""Fused per-frame preprocessing: photometric correction + rectification +
+pyramid + gradients, as one jitted device program.
+
+Replaces four separate reference passes with one XLA program (the
+BASELINE.json "north star" fusion):
+  1. response-LUT inversion  (PhotometricUndistorter::processFrame,
+     Undistort.cc:190-233)
+  2. vignette division       (same)
+  3. bilinear rectification remap (Undistort::undistort, Undistort.cc:358-470)
+  4. pyramid + gradients + absSquaredGrad (FrameHessian::makeImages,
+     FrameHessian.cc:44-113, incl. the gamma-gradient reweighting :93-98)
+
+Everything is static-shaped; XLA fuses the elementwise chain into the
+gathers. The output `FramePyramid` is the device-side analogue of
+FrameHessian::dIp — per level an (H, W, 3) array of (intensity, dx, dy)
+plus the selector's gradient-magnitude map.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+class FramePyramid(NamedTuple):
+    """Per-level (H, W, 3) = (I, dx, dy), and (H, W) absSquaredGrad."""
+    dI: Tuple[jax.Array, ...]
+    abs_grad: Tuple[jax.Array, ...]
+
+    @property
+    def levels(self) -> int:
+        return len(self.dI)
+
+    def image(self, lvl: int = 0) -> jax.Array:
+        return self.dI[lvl][..., 0]
+
+
+def _grad_and_abs(I, b_grad_lut):
+    """Central-difference gradients; absSquaredGrad optionally reweighted by
+    the forward-response gradient (FrameHessian.cc:75-99)."""
+    dx = 0.5 * (jnp.roll(I, -1, axis=1) - jnp.roll(I, 1, axis=1))
+    dy = 0.5 * (jnp.roll(I, -1, axis=0) - jnp.roll(I, 1, axis=0))
+    # zero at the x borders (reference relies on flat-index wraparound there;
+    # we zero instead) and at the y borders (reference skips first/last row).
+    W = I.shape[1]
+    H = I.shape[0]
+    col = jnp.arange(W)
+    row = jnp.arange(H)[:, None]
+    edge = (col == 0) | (col == W - 1) | (row == 0) | (row == H - 1)
+    dx = jnp.where(edge, 0.0, dx)
+    dy = jnp.where(edge, 0.0, dy)
+    # clamp the reference's NaN / >255 guard (FrameHessian.cc:85-86)
+    dx = jnp.where(jnp.abs(dx) > 255.0, 0.0, dx)
+    dy = jnp.where(jnp.abs(dy) > 255.0, 0.0, dy)
+    ag = dx * dx + dy * dy
+    if b_grad_lut is not None:
+        c = jnp.clip(jnp.round(I).astype(jnp.int32), 5, 250)
+        gw = jnp.take(b_grad_lut, c)
+        ag = ag * (gw * gw)
+    return dx, dy, ag
+
+
+def _downsample2(I):
+    """2x2 box filter (FrameHessian.cc:66-79)."""
+    H, W = I.shape
+    return 0.25 * (I[0:H:2, 0:W:2] + I[1:H:2, 0:W:2]
+                   + I[0:H:2, 1:W:2] + I[1:H:2, 1:W:2])
+
+
+def make_pyramid(img, levels: int, b_grad_lut=None) -> FramePyramid:
+    """img: (H, W) float32 photometrically-linear rectified image."""
+    dIs = []
+    ags = []
+    I = img
+    for lvl in range(levels):
+        if lvl > 0:
+            I = _downsample2(I)
+        dx, dy, ag = _grad_and_abs(I, b_grad_lut)
+        dIs.append(jnp.stack([I, dx, dy], axis=-1))
+        ags.append(ag)
+    return FramePyramid(dI=tuple(dIs), abs_grad=tuple(ags))
+
+
+@functools.partial(jax.jit, static_argnames=("levels",))
+def preprocess_frame(
+    raw: jax.Array,                 # (h_org, w_org) uint8/uint16/float32
+    G_lut: Optional[jax.Array],     # (GDepth,) float32 or None
+    vignette_inv: Optional[jax.Array],  # (h_org, w_org) float32 or None
+    remap_x: jax.Array,             # (h, w) float32, -1 invalid
+    remap_y: jax.Array,
+    b_grad_lut: Optional[jax.Array],  # (256,) float32 or None
+    levels: int,
+) -> FramePyramid:
+    """The fused preprocessing program. Compiled once per calibration."""
+    if G_lut is not None and jnp.issubdtype(raw.dtype, jnp.integer):
+        linear = jnp.take(G_lut, raw.astype(jnp.int32))
+    else:
+        linear = raw.astype(jnp.float32)
+    if vignette_inv is not None:
+        linear = linear * vignette_inv
+
+    # bilinear remap with invalid -> 0 (Undistort.cc:413-446)
+    h_org, w_org = linear.shape
+    x = remap_x
+    y = remap_y
+    valid = x >= 0
+    xs = jnp.clip(x, 0.0, w_org - 1.001)
+    ys = jnp.clip(y, 0.0, h_org - 1.001)
+    x0 = jnp.floor(xs)
+    y0 = jnp.floor(ys)
+    fx = xs - x0
+    fy = ys - y0
+    xi = x0.astype(jnp.int32)
+    yi = y0.astype(jnp.int32)
+    flat = linear.reshape(-1)
+    idx = yi * w_org + xi
+    v00 = jnp.take(flat, idx)
+    v01 = jnp.take(flat, idx + 1)
+    v10 = jnp.take(flat, idx + w_org)
+    v11 = jnp.take(flat, idx + w_org + 1)
+    fxy = fx * fy
+    rect = (fxy * v11 + (fy - fxy) * v10 + (fx - fxy) * v01
+            + (1.0 - fx - fy + fxy) * v00)
+    rect = jnp.where(valid, rect, 0.0).astype(jnp.float32)
+
+    return make_pyramid(rect, levels, b_grad_lut)
