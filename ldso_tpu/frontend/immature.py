@@ -1,0 +1,421 @@
+"""Immature points: batched epipolar trace + depth-only activation GN.
+
+Rebuild of the reference ImmaturePoint (src/internal/ImmaturePoint.cc):
+  * `make_pool` <- the ImmaturePoint constructor (:14-38): pattern colors,
+    gradient-matched weights, gradH.
+  * `trace`     <- traceOn (:47-310): per new frame, project the idepth
+    interval, discrete SSD search over <= 100 epipolar steps with the
+    rotated 8-pattern, <= 3 GN refinement steps along the line, then update
+    [idepth_min, idepth_max] from errorInPixel. The reference traces points
+    one-by-one in the mapping thread; here ALL candidates x 100 steps x 8
+    pattern pixels run as one batched gather program.
+  * `linearize_depth_residual` / `activate` <- linearizeResidual (:312-381)
+    + FullSystem::optimizeImmaturePoint (FullSystem.cc:892-1010): depth-only
+    LM over every (candidate x window-frame) residual, batched.
+
+Statuses mirror ImmaturePointStatus (include/internal/ImmaturePoint.h:31-38).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ldso_tpu.config import Config, PATTERN
+from ldso_tpu.camera.calib import Calibration
+from ldso_tpu.ops.interp import bilinear
+
+# status codes
+IPS_GOOD = 0
+IPS_OOB = 1
+IPS_OUTLIER = 2
+IPS_SKIPPED = 3
+IPS_BADCONDITION = 4
+IPS_UNINITIALIZED = 5
+
+MAX_STEPS = 100
+
+# residual states (include/internal/Residuals.h)
+RES_IN = 0
+RES_OOB = 1
+RES_OUTLIER = 2
+
+
+class ImmaturePool(NamedTuple):
+    """Fixed-capacity immature-candidate pool (one per host keyframe)."""
+    u: jax.Array            # (cap,)
+    v: jax.Array
+    valid: jax.Array        # slot holds a live candidate
+    color: jax.Array        # (cap, 8) host pattern colors
+    weights: jax.Array      # (cap, 8) gradient-dependent weights
+    gradH: jax.Array        # (cap, 2, 2)
+    idepth_min: jax.Array
+    idepth_max: jax.Array   # +inf when uninitialized
+    quality: jax.Array
+    energy_th: jax.Array
+    status: jax.Array       # (cap,) int32 IPS_*
+    last_u: jax.Array
+    last_v: jax.Array
+    last_interval: jax.Array
+    my_type: jax.Array      # (cap,) int32 selector status (1/2/4)
+
+
+@functools.partial(jax.jit, static_argnames=("cap", "cfg"))
+def make_pool(status_map: jax.Array, dI0: jax.Array, cap: int, cfg: Config) -> ImmaturePool:
+    """Build a pool from a selection status map ((H,W) int, 0 = unselected).
+
+    Mirrors ImmaturePoint ctor (ImmaturePoint.cc:14-38); candidates whose
+    pattern colors are non-finite are dropped."""
+    H, W = status_map.shape
+    flat = status_map.reshape(-1)
+    sel = flat != 0
+    idx = jnp.nonzero(sel, size=cap, fill_value=0)[0]
+    got = jnp.arange(cap) < jnp.sum(sel)
+    u = (idx % W).astype(jnp.float32)
+    v = (idx // W).astype(jnp.float32)
+    my_type = jnp.take(flat, idx)
+
+    patt = jnp.asarray(PATTERN, jnp.float32)
+    uP = u[:, None] + patt[None, :, 0]
+    vP = v[:, None] + patt[None, :, 1]
+    ptc = bilinear(dI0, uP, vP)                 # (cap, 8, 3)
+    color = ptc[..., 0]
+    g = ptc[..., 1:3]
+    gradH = jnp.einsum("npi,npj->nij", g, g)
+    gsq = jnp.sum(g * g, axis=-1)
+    weights = jnp.sqrt(cfg.outlier_th_sum_component
+                       / (cfg.outlier_th_sum_component + gsq))
+    finite = jnp.all(jnp.isfinite(color), axis=-1)
+    valid = got & finite
+
+    energy_th = (8.0 * cfg.outlier_th
+                 * cfg.overall_energy_th_weight * cfg.overall_energy_th_weight)
+    capf = jnp.full((cap,), jnp.inf, jnp.float32)
+    return ImmaturePool(
+        u=u, v=v, valid=valid, color=color, weights=weights, gradH=gradH,
+        idepth_min=jnp.zeros(cap, jnp.float32), idepth_max=capf,
+        quality=jnp.full((cap,), 10000.0, jnp.float32),
+        energy_th=jnp.full((cap,), energy_th, jnp.float32),
+        status=jnp.full((cap,), IPS_UNINITIALIZED, jnp.int32),
+        last_u=jnp.full((cap,), -1.0, jnp.float32),
+        last_v=jnp.full((cap,), -1.0, jnp.float32),
+        last_interval=jnp.zeros(cap, jnp.float32),
+        my_type=my_type.astype(jnp.int32),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("calib", "cfg"))
+def trace(pool: ImmaturePool, dI_target: jax.Array, KRKi: jax.Array,
+          Kt: jax.Array, aff: jax.Array, calib: Calibration, cfg: Config) -> ImmaturePool:
+    """Batched traceOn (ImmaturePoint.cc:47-310) against one new frame.
+
+    KRKi: (3,3) = K R_target<-host K^-1; Kt: (3,) = K t; aff: (2,) relative
+    host->target brightness transfer."""
+    W, H = calib.w[0], calib.h[0]
+    max_pix_search = (W + H) * cfg.max_pix_search
+    patt = jnp.asarray(PATTERN, jnp.float32)
+
+    sticky_oob = pool.status == IPS_OOB
+    active = pool.valid & ~sticky_oob
+
+    ones = jnp.ones_like(pool.u)
+    pr = jnp.stack([pool.u, pool.v, ones], -1) @ KRKi.T            # (N,3)
+    ptp_min = pr + Kt[None, :] * pool.idepth_min[:, None]
+    u_min = ptp_min[:, 0] / ptp_min[:, 2]
+    v_min = ptp_min[:, 1] / ptp_min[:, 2]
+    inb_min = (u_min > 4) & (v_min > 4) & (u_min < W - 5) & (v_min < H - 5)
+
+    finite_max = jnp.isfinite(pool.idepth_max)
+    id_max = jnp.where(finite_max, pool.idepth_max, 0.01)
+    ptp_max = pr + Kt[None, :] * id_max[:, None]
+    u_max0 = ptp_max[:, 0] / ptp_max[:, 2]
+    v_max0 = ptp_max[:, 1] / ptp_max[:, 2]
+
+    dist_f = jnp.sqrt((u_min - u_max0) ** 2 + (v_min - v_max0) ** 2)
+    # infinite-depth branch: stretch direction to maxPixSearch (:101-122)
+    dnorm = 1.0 / jnp.maximum(dist_f, 1e-12)
+    u_max_inf = u_min + max_pix_search * (u_max0 - u_min) * dnorm
+    v_max_inf = v_min + max_pix_search * (v_max0 - v_min) * dnorm
+    u_max = jnp.where(finite_max, u_max0, u_max_inf)
+    v_max = jnp.where(finite_max, v_max0, v_max_inf)
+    dist = jnp.where(finite_max, dist_f, max_pix_search)
+    inb_max = (u_max > 4) & (v_max > 4) & (u_max < W - 5) & (v_max < H - 5)
+
+    oob = ~inb_min | ~inb_max
+    skipped = finite_max & (dist < cfg.trace_slack_interval) & ~oob
+    # scale-change gate (:125-129)
+    scale_ok = (pool.idepth_min < 0) | ((ptp_min[:, 2] > 0.75) & (ptp_min[:, 2] < 1.5))
+    oob = oob | (~scale_ok)
+
+    # error bound from gradH (:133-146)
+    dx0 = cfg.trace_stepsize * (u_max - u_min)
+    dy0 = cfg.trace_stepsize * (v_max - v_min)
+    gH = pool.gradH
+    a = (dx0 * (gH[:, 0, 0] * dx0 + gH[:, 0, 1] * dy0)
+         + dy0 * (gH[:, 1, 0] * dx0 + gH[:, 1, 1] * dy0))
+    b_q = (dy0 * (gH[:, 0, 0] * dy0 - gH[:, 0, 1] * dx0)
+           - dx0 * (gH[:, 1, 0] * dy0 - gH[:, 1, 1] * dx0))
+    error_px = 0.2 + 0.2 * (a + b_q) / jnp.maximum(a, 1e-12)
+    badcond = (error_px * cfg.trace_min_improvement_factor > dist) & finite_max & ~oob & ~skipped
+    error_px = jnp.minimum(error_px, 10.0)
+
+    # normalized step direction (:149-156)
+    dxn = dx0 / jnp.maximum(dist, 1e-12)
+    dyn = dy0 / jnp.maximum(dist, 1e-12)
+    clipped = dist > max_pix_search
+    u_max = jnp.where(clipped, u_min + max_pix_search * dxn, u_max)
+    v_max = jnp.where(clipped, v_min + max_pix_search * dyn, v_max)
+    dist = jnp.minimum(dist, max_pix_search)
+    n_steps = jnp.minimum((1.9999 + dist / cfg.trace_stepsize).astype(jnp.int32), 99)
+    bad_dir = ~jnp.isfinite(dxn) | ~jnp.isfinite(dyn)
+    oob = oob | bad_dir
+
+    do_search = active & ~oob & ~skipped & ~badcond
+
+    # rotated pattern (:159-166)
+    Rp = KRKi[:2, :2]
+    rot_patt = patt @ Rp.T                                          # (8,2)
+
+    rand_shift = u_min * 1000.0 - jnp.floor(u_min * 1000.0)
+    ptx0 = u_min - rand_shift * dxn
+    pty0 = v_min - rand_shift * dyn
+
+    steps = jnp.arange(MAX_STEPS, dtype=jnp.float32)
+    sx = ptx0[:, None] + steps[None, :] * dxn[:, None]              # (N,100)
+    sy = pty0[:, None] + steps[None, :] * dyn[:, None]
+    px = sx[:, :, None] + rot_patt[None, None, :, 0]                # (N,100,8)
+    py = sy[:, :, None] + rot_patt[None, None, :, 1]
+    hit = bilinear(dI_target, px, py)[..., 0]
+    res = hit - (aff[0] * pool.color[:, None, :] + aff[1])
+    abs_r = jnp.abs(res)
+    hw = jnp.where(abs_r < cfg.huber_th, 1.0, cfg.huber_th / jnp.maximum(abs_r, 1e-12))
+    e_pix = jnp.where(jnp.isfinite(hit), hw * res * res * (2.0 - hw), 1e5)
+    energies = jnp.sum(e_pix, axis=-1)                              # (N,100)
+    step_live = steps[None, :] < n_steps[:, None].astype(jnp.float32)
+    energies = jnp.where(step_live, energies, 1e10)
+
+    best_idx = jnp.argmin(energies, axis=-1)
+    best_energy = jnp.min(energies, axis=-1)
+    best_u = ptx0 + best_idx.astype(jnp.float32) * dxn
+    best_v = pty0 + best_idx.astype(jnp.float32) * dyn
+
+    # second-best outside +-2 steps -> quality (:213-220)
+    far = jnp.abs(steps[None, :] - best_idx[:, None].astype(jnp.float32)) > 2.0
+    second = jnp.min(jnp.where(far, energies, 1e10), axis=-1)
+    new_q = second / jnp.maximum(best_energy, 1e-12)
+    quality = jnp.where((new_q < pool.quality) | (n_steps > 10), new_q, pool.quality)
+
+    # GN refinement along the line (:223-275)
+    def gn_energy_Hb(bu, bv):
+        gx = bu[:, None] + rot_patt[None, :, 0]
+        gy = bv[:, None] + rot_patt[None, :, 1]
+        hc = bilinear(dI_target, gx, gy)                            # (N,8,3)
+        finite = jnp.isfinite(hc[..., 0])
+        r = hc[..., 0] - (aff[0] * pool.color + aff[1])
+        d = dxn[:, None] * hc[..., 1] + dyn[:, None] * hc[..., 2]
+        ar = jnp.abs(r)
+        hw = jnp.where(ar < cfg.huber_th, 1.0, cfg.huber_th / jnp.maximum(ar, 1e-12))
+        e = jnp.where(finite,
+                      pool.weights ** 2 * hw * r * r * (2.0 - hw), 1e5)
+        Hc = 1.0 + jnp.sum(jnp.where(finite, hw * d * d, 0.0), -1)
+        bc = jnp.sum(jnp.where(finite, hw * r * d, 0.0), -1)
+        return jnp.sum(e, -1), Hc, bc
+
+    gn0 = dict(bu=best_u, bv=best_v, ubak=best_u, vbak=best_v,
+               be=jnp.full_like(best_energy, 1e5),
+               stepback=jnp.zeros_like(best_u),
+               done=jnp.zeros_like(do_search))
+
+    def gn_body(_, s):
+        e, Hc, bc = gn_energy_Hb(s["bu"], s["bv"])
+        worse = e > s["be"]
+        sb_half = s["stepback"] * 0.5
+        bu_back = s["ubak"] + sb_half * dxn
+        bv_back = s["vbak"] + sb_half * dyn
+        step = jnp.clip(-bc / Hc, -0.5, 0.5)
+        step = jnp.where(jnp.isfinite(step), step, 0.0)
+        bu_fwd = s["bu"] + step * dxn
+        bv_fwd = s["bv"] + step * dyn
+        upd = ~s["done"]
+        new = dict(
+            bu=jnp.where(upd, jnp.where(worse, bu_back, bu_fwd), s["bu"]),
+            bv=jnp.where(upd, jnp.where(worse, bv_back, bv_fwd), s["bv"]),
+            ubak=jnp.where(upd & ~worse, s["bu"], s["ubak"]),
+            vbak=jnp.where(upd & ~worse, s["bv"], s["vbak"]),
+            stepback=jnp.where(upd, jnp.where(worse, sb_half, step), s["stepback"]),
+            be=jnp.where(upd & ~worse, e, s["be"]),
+            done=s["done"] | (jnp.abs(jnp.where(worse, sb_half, step))
+                              < cfg.trace_gn_threshold),
+        )
+        return new
+
+    if cfg.trace_gn_iterations > 0:
+        gn = jax.lax.fori_loop(0, cfg.trace_gn_iterations, gn_body, gn0)
+        best_u, best_v, best_energy = gn["bu"], gn["bv"], gn["be"]
+
+    # energy-based outlier (:278-287)
+    is_outlier = ~(best_energy < pool.energy_th * cfg.trace_extra_slack_on_th)
+    was_outlier = pool.status == IPS_OUTLIER
+    outlier_to_oob = is_outlier & was_outlier
+
+    # new idepth interval (:290-303)
+    use_x = dxn * dxn > dyn * dyn
+    px_lo = jnp.where(use_x, best_u - error_px * dxn, best_v - error_px * dyn)
+    px_hi = jnp.where(use_x, best_u + error_px * dxn, best_v + error_px * dyn)
+    pr_a = jnp.where(use_x, pr[:, 0], pr[:, 1])
+    kt_a = jnp.where(use_x, Kt[0], Kt[1])
+    id_lo = (pr[:, 2] * px_lo - pr_a) / (kt_a - Kt[2] * px_lo)
+    id_hi = (pr[:, 2] * px_hi - pr_a) / (kt_a - Kt[2] * px_hi)
+    new_min = jnp.minimum(id_lo, id_hi)
+    new_max = jnp.maximum(id_lo, id_hi)
+    interval_bad = (~jnp.isfinite(new_min)) | (~jnp.isfinite(new_max)) | (new_max < 0)
+
+    good = do_search & ~is_outlier & ~interval_bad
+
+    # compose final status with the documented precedence
+    status = pool.status
+    status = jnp.where(active & oob, IPS_OOB, status)
+    status = jnp.where(active & ~oob & skipped, IPS_SKIPPED, status)
+    status = jnp.where(active & badcond, IPS_BADCONDITION, status)
+    status = jnp.where(do_search & (is_outlier | interval_bad),
+                       jnp.where(outlier_to_oob, IPS_OOB, IPS_OUTLIER), status)
+    status = jnp.where(good, IPS_GOOD, status)
+
+    mid_u = (u_max + u_min) * 0.5
+    mid_v = (v_max + v_min) * 0.5
+    last_u = jnp.where(good, best_u,
+                       jnp.where(active & (skipped | badcond), mid_u, pool.last_u))
+    last_v = jnp.where(good, best_v,
+                       jnp.where(active & (skipped | badcond), mid_v, pool.last_v))
+    last_u = jnp.where(active & (oob | (do_search & (is_outlier | interval_bad))),
+                       -1.0, last_u)
+    last_v = jnp.where(active & (oob | (do_search & (is_outlier | interval_bad))),
+                       -1.0, last_v)
+    last_int = jnp.where(good, 2.0 * error_px,
+                         jnp.where(active & (skipped | badcond), dist,
+                                   jnp.where(active, 0.0, pool.last_interval)))
+
+    return pool._replace(
+        idepth_min=jnp.where(good, new_min, pool.idepth_min),
+        idepth_max=jnp.where(good, new_max, pool.idepth_max),
+        quality=jnp.where(do_search, quality, pool.quality),
+        status=status,
+        last_u=last_u, last_v=last_v, last_interval=last_int,
+    )
+
+
+# ---------------------------------------------------------------------------
+# activation (depth-only GN over all window frames)
+# ---------------------------------------------------------------------------
+
+def linearize_depth_residual(u, v, color, weights, energy_th, idepth,
+                             R, t, affLL, dI_target, calib: Calibration,
+                             cfg: Config, outlier_slack):
+    """One (point x target) depth-only residual (linearizeResidual,
+    ImmaturePoint.cc:312-381). All args batched over points; R/t/affLL are
+    a single target's precalc. Returns (energy, Hdd, bd, state)."""
+    fx, fy = calib.fx[0], calib.fy[0]
+    cx, cy = calib.cx[0], calib.cy[0]
+    W, H = calib.w[0], calib.h[0]
+    patt = jnp.asarray(PATTERN, jnp.float32)
+
+    # projectPoint with pattern offsets (ResidualProjections.h:58-86)
+    KliP = jnp.stack([
+        (u[:, None] + patt[None, :, 0] - cx) / fx,
+        (v[:, None] + patt[None, :, 1] - cy) / fy,
+        jnp.ones((u.shape[0], 8), jnp.float32)], axis=-1)           # (N,8,3)
+    ptp = jnp.einsum("ij,npj->npi", R, KliP) + t[None, None, :] * idepth[:, None, None]
+    drescale = 1.0 / ptp[..., 2]
+    new_idepth = idepth[:, None] * drescale
+    uu = ptp[..., 0] * drescale
+    vv = ptp[..., 1] * drescale
+    Ku = uu * fx + cx
+    Kv = vv * fy + cy
+    inb = (drescale > 0) & (Ku > 1.1) & (Kv > 1.1) & (Ku < W - 3) & (Kv < H - 3)
+
+    hit = bilinear(dI_target, Ku, Kv)
+    finite = jnp.isfinite(hit[..., 0])
+    pix_ok = inb & finite
+    oob = ~jnp.all(pix_ok, axis=-1)
+
+    r = hit[..., 0] - (affLL[0] * color + affLL[1])
+    ar = jnp.abs(r)
+    hw = jnp.where(ar < cfg.huber_th, 1.0, cfg.huber_th / jnp.maximum(ar, 1e-12))
+    w2 = weights * weights
+    energy = jnp.sum(jnp.where(pix_ok, w2 * hw * r * r * (2.0 - hw), 0.0), -1)
+
+    dxI = hit[..., 1] * fx
+    dyI = hit[..., 2] * fy
+    d_id = (dxI * drescale * (t[0] - t[2] * uu)
+            + dyI * drescale * (t[1] - t[2] * vv))
+    hww = hw * w2
+    Hdd = jnp.sum(jnp.where(pix_ok, hww * d_id * d_id, 0.0), -1)
+    bd = jnp.sum(jnp.where(pix_ok, hww * r * d_id, 0.0), -1)
+
+    over = energy > energy_th * outlier_slack
+    energy = jnp.where(over, energy_th * outlier_slack, energy)
+    state = jnp.where(oob, RES_OOB, jnp.where(over, RES_OUTLIER, RES_IN))
+    Hdd = jnp.where(oob, 0.0, Hdd)
+    bd = jnp.where(oob, 0.0, bd)
+    return energy, Hdd, bd, state
+
+
+@functools.partial(jax.jit, static_argnames=("calib", "cfg"))
+def activate(u, v, color, weights, energy_th, idepth0, cand_valid,
+             Rs, ts, affs, target_mask, dIs, calib: Calibration, cfg: Config):
+    """Batched optimizeImmaturePoint (FullSystem.cc:892-1010): depth-only LM
+    for every candidate against every window frame.
+
+    Rs (T,3,3), ts (T,3), affs (T,2): host->target precalc per window frame;
+    target_mask (T,) marks real targets; dIs: (T,H,W,3) stacked pyramids
+    (level 0). Returns (idepth, ok, n_good_res, state (N,T))."""
+    T = Rs.shape[0]
+
+    def all_targets(idepth, slack):
+        es, Hs, bs, sts = [], [], [], []
+        for k in range(T):
+            e, Hdd, bd, st = linearize_depth_residual(
+                u, v, color, weights, energy_th, idepth,
+                Rs[k], ts[k], affs[k], dIs[k], calib, cfg, slack)
+            live = target_mask[k]
+            es.append(jnp.where(live, e, 0.0))
+            Hs.append(jnp.where(live, Hdd, 0.0))
+            bs.append(jnp.where(live, bd, 0.0))
+            sts.append(jnp.where(live, st, RES_OOB))
+        return (sum(es), sum(Hs), sum(bs), jnp.stack(sts, axis=-1))
+
+    idepth = idepth0
+    energy, Hdd, bd, state = all_targets(idepth, 1000.0)
+
+    lam = jnp.full_like(idepth, 0.1)
+    carry = dict(idepth=idepth, e=energy, H=Hdd, b=bd, st=state, lam=lam,
+                 done=jnp.zeros_like(cand_valid))
+
+    def body(_, c):
+        step = (1.0 / (c["H"] * (1.0 + c["lam"]) + 1e-12)) * c["b"]
+        new_id = c["idepth"] - step
+        e2, H2, b2, st2 = all_targets(new_id, 1.0)
+        accept = e2 < c["e"]
+        upd = ~c["done"]
+        take = accept & upd
+        out = dict(
+            idepth=jnp.where(take, new_id, c["idepth"]),
+            e=jnp.where(take, e2, c["e"]),
+            H=jnp.where(take, H2, c["H"]),
+            b=jnp.where(take, b2, c["b"]),
+            st=jnp.where(take[:, None], st2, c["st"]),
+            lam=jnp.where(upd, jnp.where(accept, c["lam"] * 0.5, c["lam"] * 5.0),
+                          c["lam"]),
+            done=c["done"] | (jnp.abs(step) < 1e-4 * jnp.abs(c["idepth"])),
+        )
+        return out
+
+    carry = jax.lax.fori_loop(0, cfg.gn_its_on_point_activation, body, carry)
+
+    n_good = jnp.sum((carry["st"] == RES_IN) & target_mask[None, :], axis=-1)
+    ok = (cand_valid & jnp.isfinite(carry["e"]) & jnp.isfinite(carry["idepth"])
+          & (carry["H"] >= cfg.min_idepth_h_act))
+    return carry["idepth"], ok, n_good, carry["st"]

@@ -35,10 +35,12 @@ class PlaneScene:
     seed: int = 7
     contrast: float = 60.0
     base: float = 128.0
+    freq_lo: float = 0.5                # texture band (rad / meter)
+    freq_hi: float = 12.0
 
     def _texture_params(self):
         rng = np.random.RandomState(self.seed)
-        freqs = rng.uniform(0.5, 12.0, size=(self.n_waves, 2))
+        freqs = rng.uniform(self.freq_lo, self.freq_hi, size=(self.n_waves, 2))
         phases = rng.uniform(0, 2 * np.pi, size=self.n_waves)
         amps = rng.uniform(0.3, 1.0, size=self.n_waves)
         amps = amps / amps.sum()

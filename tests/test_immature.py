@@ -1,0 +1,147 @@
+"""Immature-point tests: epipolar trace on synthetic translation
+(SURVEY.md §4 seam "epipolar trace on synthetic translation")."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ldso_tpu.config import Config
+from ldso_tpu.frontend import immature
+from ldso_tpu.math import lie
+from ldso_tpu.ops.preprocess import make_pyramid
+from ldso_tpu.synthetic import PlaneScene, default_calib
+
+CFG = Config()
+
+
+def _setup(w=256, h=192):
+    calib = default_calib(w, h)
+    scene = PlaneScene(freq_hi=40.0, contrast=70.0)
+    img0, id0 = scene.render(calib, jnp.eye(4, dtype=jnp.float32))
+    pyr0 = make_pyramid(img0, calib.levels)
+    return calib, scene, img0, id0, pyr0
+
+
+def _grid_status(w, h, step=16):
+    st = np.zeros((h, w), np.int32)
+    st[8:-8:step, 8:-8:step] = 1
+    return jnp.asarray(st)
+
+
+class TestPool:
+    def test_make_pool(self):
+        calib, scene, img0, id0, pyr0 = _setup()
+        status = _grid_status(calib.w[0], calib.h[0])
+        pool = immature.make_pool(status, pyr0.dI[0], 512, CFG)
+        n = int(pool.valid.sum())
+        assert n == int((np.asarray(status) != 0).sum())
+        assert np.all(np.asarray(pool.status)[np.asarray(pool.valid)]
+                      == immature.IPS_UNINITIALIZED)
+        w = np.asarray(pool.weights)[np.asarray(pool.valid)]
+        assert np.all((w > 0) & (w <= 1.0))
+
+
+class TestTrace:
+    def _trace_once(self, xi, pool, pyr_t, calib):
+        T = lie.se3_exp(jnp.asarray(xi, jnp.float64)).astype(jnp.float32)
+        K = jnp.asarray(calib.K(0), jnp.float32)
+        Ki = jnp.asarray(calib.Ki(0), jnp.float32)
+        KRKi = K @ T[:3, :3] @ Ki
+        Kt = K @ T[:3, 3]
+        aff = jnp.array([1.0, 0.0], jnp.float32)
+        return immature.trace(pool, pyr_t.dI[0], KRKi, Kt, aff, calib, CFG)
+
+    def test_interval_narrows_to_truth(self):
+        calib, scene, img0, id0, pyr0 = _setup()
+        status = _grid_status(calib.w[0], calib.h[0])
+        pool = immature.make_pool(status, pyr0.dI[0], 512, CFG)
+
+        xi = [0.08, 0.0, 0.0, 0.0, 0.0, 0.0]  # pure lateral baseline
+        T = lie.se3_exp(jnp.asarray(xi)).astype(jnp.float32)
+        img1, _ = scene.render(calib, T)
+        pyr1 = make_pyramid(img1, calib.levels)
+        pool = self._trace_once(xi, pool, pyr1, calib)
+
+        st = np.asarray(pool.status)
+        valid = np.asarray(pool.valid)
+        good = valid & (st == immature.IPS_GOOD)
+        assert good.sum() > 0.5 * valid.sum(), f"too few good traces: {good.sum()}/{valid.sum()}"
+
+        # true idepth inside the (narrowed) interval for good traces
+        u = np.asarray(pool.u)[good].astype(int)
+        v = np.asarray(pool.v)[good].astype(int)
+        true_id = np.asarray(id0)[v, u]
+        lo = np.asarray(pool.idepth_min)[good]
+        hi = np.asarray(pool.idepth_max)[good]
+        inside = (true_id >= lo - 0.02) & (true_id <= hi + 0.02)
+        assert inside.mean() > 0.9, f"only {inside.mean():.2%} intervals contain truth"
+        assert np.isfinite(hi).all()
+        assert (hi - lo).mean() < 1.0
+
+    def test_second_trace_narrows_further(self):
+        calib, scene, img0, id0, pyr0 = _setup()
+        status = _grid_status(calib.w[0], calib.h[0])
+        pool = immature.make_pool(status, pyr0.dI[0], 512, CFG)
+
+        for i, bx in enumerate([0.06, 0.1]):
+            xi = [bx, 0.01, 0.0, 0.0, 0.0, 0.0]
+            img, _ = scene.render(calib, lie.se3_exp(jnp.asarray(xi)).astype(jnp.float32))
+            pyr = make_pyramid(img, calib.levels)
+            pool = self._trace_once(xi, pool, pyr, calib)
+            width = np.asarray(pool.idepth_max - pool.idepth_min)
+            good = np.asarray(pool.valid) & (np.asarray(pool.status) == immature.IPS_GOOD)
+            if i == 0:
+                w_first = width[good].mean()
+        w_second = width[good].mean()
+        assert w_second <= w_first * 1.1
+
+    def test_zero_baseline_skips(self):
+        """No translation => no epipolar line => traces cannot converge
+        (either SKIPPED via tiny interval once initialized, or remain wide)."""
+        calib, scene, img0, id0, pyr0 = _setup()
+        status = _grid_status(calib.w[0], calib.h[0])
+        pool = immature.make_pool(status, pyr0.dI[0], 512, CFG)
+        pool = self._trace_once([0, 0, 0, 0, 0.002, 0], pool, pyr0, calib)
+        # pure rotation: intervals must not collapse to a spurious depth
+        good = np.asarray(pool.valid) & (np.asarray(pool.status) == immature.IPS_GOOD)
+        if good.sum() > 0:
+            # any "good" trace must still have a huge relative interval
+            rel = (np.asarray(pool.idepth_max) - np.asarray(pool.idepth_min))[good]
+            assert np.median(rel) > 0.5
+
+
+class TestActivate:
+    def test_activation_recovers_depth(self):
+        calib, scene, img0, id0, pyr0 = _setup()
+        status = _grid_status(calib.w[0], calib.h[0])
+        pool = immature.make_pool(status, pyr0.dI[0], 512, CFG)
+
+        # two target frames with baselines
+        Rs, ts, affs, dIs, masks = [], [], [], [], []
+        for xi in ([0.07, 0.0, 0.0, 0, 0, 0], [0.0, 0.06, 0.01, 0, 0, 0]):
+            T = lie.se3_exp(jnp.asarray(xi)).astype(jnp.float32)
+            img, _ = scene.render(calib, T)
+            pyr = make_pyramid(img, calib.levels)
+            Rs.append(T[:3, :3])
+            ts.append(T[:3, 3])
+            affs.append(jnp.array([1.0, 0.0], jnp.float32))
+            dIs.append(pyr.dI[0])
+            masks.append(True)
+
+        u, v = pool.u, pool.v
+        true_id = jnp.asarray(np.asarray(id0)[np.asarray(v).astype(int),
+                                              np.asarray(u).astype(int)])
+        idepth0 = true_id * 1.3  # 30% off initial guess
+        idep, ok, n_good, st = immature.activate(
+            u, v, pool.color, pool.weights, pool.energy_th, idepth0, pool.valid,
+            jnp.stack(Rs), jnp.stack(ts), jnp.stack(affs), jnp.asarray(masks),
+            jnp.stack(dIs), calib, CFG)
+        okm = np.asarray(ok) & np.asarray(pool.valid)
+        assert okm.sum() > 0.5 * int(pool.valid.sum())
+        err = np.abs(np.asarray(idep)[okm] - np.asarray(true_id)[okm]) / np.asarray(true_id)[okm]
+        assert np.median(err) < 0.02, f"median idepth error {np.median(err):.3f}"
+        assert (np.asarray(n_good)[okm] >= 1).all()
+
+
+if __name__ == "__main__":
+    pytest.main([__file__, "-q", "-x"])
