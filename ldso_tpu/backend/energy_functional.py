@@ -1,0 +1,493 @@
+"""Host-side EnergyFunctional: window bookkeeping, the LM driver, the tiny
+float64 stitched solves, and marginalization.
+
+Mirrors src/internal/OptimizationBackend/EnergyFunctional.cc plus the
+optimization-driver parts of FullSystem (optimize / backupState /
+doStepFromBackup / linearizeAll; FullSystem.cc:725-864, 1442-1692). The
+hot per-residual work runs on device (backend/ba.py); this class owns:
+
+  * the marginalization prior HM/bM in float64 (the reference keeps all
+    stitched algebra in double; f64 does not compile on TPU, so the tiny
+    (<=68x68) dense algebra lives on host numpy),
+  * frame slot management (active frames always occupy slots [0, nf)),
+  * nullspace computation + orthogonalization (FullSystem.cc:1711-1760,
+    EnergyFunctional.cc:685-717).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ldso_tpu.config import CPARS, Config, SCALE_A, SCALE_B, SCALE_XI_ROT, SCALE_XI_TRANS
+from ldso_tpu.backend import ba
+from ldso_tpu.backend.window import (RES_IN, RES_OOB, RES_OUTLIER, Window,
+                                     aff_g2l_zero, current_poses, empty_window,
+                                     scaled_state)
+from ldso_tpu.math import lie
+
+
+@jax.jit
+def _reset_oob(W: Window) -> Window:
+    """resetOOB for the active (non-linearized) residual set
+    (FullSystem.cc:745-747, Residuals.h:63-68)."""
+    mask = (W.res_exist & W.pt_valid[:, None] & ~W.res_linearized
+            & W.frame_valid[None, :])
+    return W._replace(
+        res_state=jnp.where(mask, RES_IN, W.res_state),
+        res_new_state=jnp.where(mask, RES_OUTLIER, W.res_new_state),
+        res_energy=jnp.where(mask, 0.0, W.res_energy),
+        res_new_energy=jnp.where(mask, 0.0, W.res_new_energy),
+    )
+
+
+@jax.jit
+def _finalize_linearization(W: Window) -> Window:
+    """applyRes(true) + drop dead residuals + per-point stats
+    (linearizeAll fixLinearization path, FullSystem.cc:1466-1543)."""
+    mask = (W.res_exist & W.pt_valid[:, None] & ~W.res_linearized
+            & W.frame_valid[None, :])
+    frozen = W.res_state == RES_OOB
+    upd = mask & ~frozen
+    active = upd & (W.res_new_state == RES_IN)
+    W = W._replace(
+        res_active=jnp.where(upd, active, W.res_active),
+        res_state=jnp.where(upd, W.res_new_state, W.res_state),
+        res_energy=jnp.where(upd, W.res_new_energy, W.res_energy),
+    )
+    # per-point stats for active residuals (maxRelBaseline / numGoodResiduals)
+    pc = ba.make_precalc(W)
+    KRKi = pc.KRKi[W.pt_host]
+    Kt = pc.Kt[W.pt_host]
+    p1 = jnp.stack([W.pt_u, W.pt_v, jnp.ones_like(W.pt_u)], -1)
+    ptp_inf = jnp.einsum("pfij,pj->pfi", KRKi, p1)
+    ptp = ptp_inf + Kt * W.idepth[:, None, None]
+    pi = ptp_inf[..., :2] / ptp_inf[..., 2:3]
+    pp = ptp[..., :2] / ptp[..., 2:3]
+    rel_bs = 0.01 * jnp.linalg.norm(pi - pp, axis=-1)
+    act_now = W.res_active & mask
+    best = jnp.max(jnp.where(act_now, rel_bs, 0.0), axis=1)
+    W = W._replace(
+        pt_max_rel_baseline=jnp.maximum(W.pt_max_rel_baseline, best),
+        pt_num_good_res=W.pt_num_good_res + jnp.sum(act_now, axis=1),
+        # drop residuals that ended up not active (FullSystem.cc:1474-1490)
+        res_exist=W.res_exist & ~(mask & ~W.res_active),
+    )
+    return W
+
+
+class EnergyFunctional:
+    """Owns the Window plus the host-side marginalization prior."""
+
+    def __init__(self, cfg: Config, calib, F: Optional[int] = None,
+                 P: Optional[int] = None):
+        self.cfg = cfg
+        self.calib = calib
+        self.F = F if F is not None else cfg.max_frames + 1
+        self.P = P if P is not None else cfg.max_points
+        self.W = empty_window(self.F, self.P, calib.intrinsics_vec(), cfg)
+        self.n_frames = 0
+        self.HM = np.zeros((CPARS, CPARS), np.float64)
+        self.bM = np.zeros(CPARS, np.float64)
+        self.res_in_a = 0
+        self.res_in_m = 0
+        self.is_lost = False
+
+    # ------------------------------------------------------------------ frames
+    def insert_frame(self, T_cw: np.ndarray, exposure: float,
+                     aff: np.ndarray, is_first: bool) -> int:
+        """Append a frame at slot nf (insertFrame, EnergyFunctional.cc:32-62).
+        state starts at zero except (a, b) which seed state and state_zero."""
+        i = self.n_frames
+        assert i < self.F, "window capacity exceeded"
+        W = self.W
+        st = np.zeros(10, np.float32)
+        st[6] = aff[0] / SCALE_A
+        st[7] = aff[1] / SCALE_B
+        prior = np.zeros(8, np.float32)
+        if is_first:
+            prior[0:3] = self.cfg.initial_trans_prior
+            prior[3:6] = self.cfg.initial_rot_prior
+            prior[6] = self.cfg.initial_aff_a_prior
+            prior[7] = self.cfg.initial_aff_b_prior
+        else:
+            prior[6] = (self.cfg.initial_aff_a_prior
+                        if self.cfg.affine_opt_mode_a < 0 else self.cfg.affine_opt_mode_a)
+            prior[7] = (self.cfg.initial_aff_b_prior
+                        if self.cfg.affine_opt_mode_b < 0 else self.cfg.affine_opt_mode_b)
+
+        self.W = W._replace(
+            frame_valid=W.frame_valid.at[i].set(True),
+            T_eval=W.T_eval.at[i].set(jnp.asarray(T_cw, jnp.float32)),
+            state=W.state.at[i].set(jnp.asarray(st)),
+            state_zero=W.state_zero.at[i].set(jnp.asarray(st)),
+            exposure=W.exposure.at[i].set(float(exposure)),
+            prior=W.prior.at[i].set(jnp.asarray(prior)),
+            frame_energy_th=W.frame_energy_th.at[i].set(12.0 * 12.0 * 8.0),
+        )
+        self.n_frames += 1
+        # grow HM/bM with zeros for the new frame block
+        n_old = self.HM.shape[0]
+        n_new = n_old + 8
+        HM = np.zeros((n_new, n_new), np.float64)
+        HM[:n_old, :n_old] = self.HM
+        bM = np.zeros(n_new, np.float64)
+        bM[:n_old] = self.bM
+        self.HM, self.bM = HM, bM
+        return i
+
+    def marginalize_frame(self, idx: int):
+        """Schur-marginalize frame slot idx onto HM/bM and compact slots
+        (EnergyFunctional::marginalizeFrame, :72-151)."""
+        nf = self.n_frames
+        odim = nf * 8 + CPARS
+        ndim = odim - 8
+        HM, bM = self.HM.copy(), self.bM.copy()
+
+        if idx != nf - 1:
+            # move block idx to the tail
+            io = idx * 8 + CPARS
+            order = (list(range(0, io)) + list(range(io + 8, odim))
+                     + list(range(io, io + 8)))
+            HM = HM[np.ix_(order, order)]
+            bM = bM[order]
+
+        # add the frame prior before marginalizing (:104-106)
+        W = self.W
+        prior = np.asarray(W.prior[idx], np.float64)
+        delta_prior = np.asarray((W.state - 0.0)[idx, :8], np.float64)
+        HM[ndim:, ndim:][np.diag_indices(8)] += prior
+        bM[ndim:] += prior * delta_prior
+
+        SVec = np.sqrt(np.abs(np.diag(HM)) + 10.0)
+        SVecI = 1.0 / SVec
+        HMs = SVecI[:, None] * HM * SVecI[None, :]
+        bMs = SVecI * bM
+        hpi = np.linalg.pinv(HMs[ndim:, ndim:])
+        bli = HMs[ndim:, :ndim].T @ hpi
+        HMs_new = HMs[:ndim, :ndim] - bli @ HMs[ndim:, :ndim]
+        bMs_new = bMs[:ndim] - bli @ bMs[ndim:]
+        HM_new = SVec[:ndim, None] * HMs_new * SVec[None, :ndim]
+        bM_new = SVec[:ndim] * bMs_new
+        self.HM = 0.5 * (HM_new + HM_new.T)
+        self.bM = bM_new
+
+        # compact device frame slots: move idx..end left by one
+        self.W = _shift_frame_out(self.W, idx)
+        self.n_frames -= 1
+
+    # ------------------------------------------------------------------ points
+    def marginalize_points(self, pt_mask: jax.Array, dIs: jax.Array):
+        """flagged points: boost prior, relinearize+fix, mode-2 accumulate
+        into HM/bM, then remove (marginalizePointsF, :165-222)."""
+        W = self.W
+        any_pts = bool(jnp.any(pt_mask))
+        if not any_pts:
+            return
+        W = W._replace(pt_prior=jnp.where(
+            pt_mask, W.pt_prior * self.cfg.idepth_fix_prior_marg_fac, W.pt_prior))
+        H, b, nres = ba.accumulate_marg(W, pt_mask)
+        n = CPARS + 8 * self.n_frames
+        Hn = np.asarray(H, np.float64)[:n, :n]
+        bn = np.asarray(b, np.float64)[:n]
+        self.HM += self.cfg.marg_weight_fac * Hn
+        self.bM += self.cfg.marg_weight_fac * bn
+        self.res_in_m += int(nres)
+        # remove the points
+        self.W = W._replace(
+            pt_valid=W.pt_valid & ~pt_mask,
+            res_exist=W.res_exist & ~pt_mask[:, None],
+            res_active=W.res_active & ~pt_mask[:, None],
+        )
+
+    def insert_points(self, host_idx, u, v, color, weights, idepth,
+                      energy_th, has_depth_prior=False) -> np.ndarray:
+        """Place new active points into free slots; create residual slots to
+        every other valid frame. Returns the slot indices used.
+        host_idx may be a scalar or per-point array."""
+        W = self.W
+        free = np.nonzero(~np.asarray(W.pt_valid))[0]
+        k = min(len(free), len(u))
+        sl = jnp.asarray(free[:k].astype(np.int32))
+        host = np.broadcast_to(np.asarray(host_idx, np.int32), (len(u),))[:k]
+        hostj = jnp.asarray(host)
+        prior = (self.cfg.idepth_fix_prior if has_depth_prior else 0.0)
+
+        res_exist_rows = (jnp.asarray(np.asarray(W.frame_valid))[None, :]
+                          & (hostj[:, None] != jnp.arange(self.F)[None, :]))
+        W = W._replace(
+            pt_valid=W.pt_valid.at[sl].set(True),
+            pt_host=W.pt_host.at[sl].set(hostj),
+            pt_u=W.pt_u.at[sl].set(jnp.asarray(u[:k], jnp.float32)),
+            pt_v=W.pt_v.at[sl].set(jnp.asarray(v[:k], jnp.float32)),
+            pt_color=W.pt_color.at[sl].set(jnp.asarray(color[:k], jnp.float32)),
+            pt_weights=W.pt_weights.at[sl].set(jnp.asarray(weights[:k], jnp.float32)),
+            idepth=W.idepth.at[sl].set(jnp.asarray(idepth[:k], jnp.float32)),
+            idepth_zero=W.idepth_zero.at[sl].set(jnp.asarray(idepth[:k], jnp.float32)),
+            pt_prior=W.pt_prior.at[sl].set(prior),
+            pt_energy_th=W.pt_energy_th.at[sl].set(
+                jnp.asarray(energy_th[:k], jnp.float32)),
+            pt_num_good_res=W.pt_num_good_res.at[sl].set(0),
+            pt_max_rel_baseline=W.pt_max_rel_baseline.at[sl].set(0.0),
+            pt_idepth_hessian=W.pt_idepth_hessian.at[sl].set(0.0),
+            res_exist=W.res_exist.at[sl].set(res_exist_rows),
+            res_active=W.res_active.at[sl].set(False),
+            res_linearized=W.res_linearized.at[sl].set(False),
+            res_state=W.res_state.at[sl].set(RES_IN),
+            res_energy=W.res_energy.at[sl].set(0.0),
+        )
+        self.W = W
+        return free[:k]
+
+    def add_residuals_to_frame(self, frame_idx: int):
+        """Create residual slots from every active point to a (new) frame
+        (FullSystem::makeKeyFrame :443-469)."""
+        W = self.W
+        mask = W.pt_valid & (W.pt_host != frame_idx)
+        W = W._replace(
+            res_exist=W.res_exist.at[:, frame_idx].set(mask),
+            res_active=W.res_active.at[:, frame_idx].set(False),
+            res_linearized=W.res_linearized.at[:, frame_idx].set(False),
+            res_state=W.res_state.at[:, frame_idx].set(
+                jnp.where(mask, RES_IN, W.res_state[:, frame_idx])),
+            res_energy=W.res_energy.at[:, frame_idx].set(0.0),
+        )
+        self.W = W
+
+    def drop_points(self, pt_mask: jax.Array):
+        W = self.W
+        self.W = W._replace(
+            pt_valid=W.pt_valid & ~pt_mask,
+            res_exist=W.res_exist & ~pt_mask[:, None],
+            res_active=W.res_active & ~pt_mask[:, None],
+        )
+
+    # ------------------------------------------------------------------ solving
+    def _nullspaces(self) -> np.ndarray:
+        """Columns: 6 pose + 2 affine + 1 scale global null directions
+        (getNullspaces, FullSystem.cc:1711-1760)."""
+        nf = self.n_frames
+        n = CPARS + 8 * nf
+        W = self.W
+        T_eval = np.asarray(W.T_eval[:nf], np.float64)
+        adj = np.asarray(lie.se3_adj(jnp.asarray(T_eval)))      # (nf,6,6)
+        aff0 = np.asarray(aff_g2l_zero(W))[:nf]
+        expo = np.asarray(W.exposure[:nf])
+
+        cols = []
+        for i in range(6):
+            x0 = np.zeros(n)
+            for f in range(nf):
+                seg = adj[f][:, i].copy()
+                seg[0:3] /= SCALE_XI_TRANS
+                seg[3:6] /= SCALE_XI_ROT
+                x0[CPARS + 8 * f: CPARS + 8 * f + 6] = seg
+            cols.append(x0)
+        for i in range(2):
+            x0 = np.zeros(n)
+            for f in range(nf):
+                if i == 0:
+                    x0[CPARS + 8 * f + 6] = 1.0 / SCALE_A
+                else:
+                    x0[CPARS + 8 * f + 7] = np.exp(aff0[f, 0]) * expo[f] / SCALE_B
+            cols.append(x0)
+        x0 = np.zeros(n)
+        for f in range(nf):
+            t = T_eval[f][:3, 3]
+            x0[CPARS + 8 * f: CPARS + 8 * f + 3] = t / SCALE_XI_TRANS
+        cols.append(x0)
+        return np.stack(cols, axis=1)  # (n, 9)
+
+    @staticmethod
+    def _orthogonalize(vec: np.ndarray, N: np.ndarray,
+                       delta: float = 1e-5) -> np.ndarray:
+        """x -= N (N^T N)^+ N^T x via SVD (EnergyFunctional.cc:685-717)."""
+        Nn = N / np.maximum(np.linalg.norm(N, axis=0, keepdims=True), 1e-12)
+        U, S, Vt = np.linalg.svd(Nn, full_matrices=False)
+        Sinv = np.where(S > delta * S.max(), 1.0 / S, 0.0)
+        Npi = U * Sinv[None, :] @ Vt                # pseudo-inverse pieces
+        NNpiT = Nn @ Npi.T
+        NNpiTS = 0.5 * (NNpiT + NNpiT.T)
+        return vec - NNpiTS @ vec
+
+    def solve_system(self, iteration: int, lam: float):
+        """solveSystemF (EnergyFunctional.cc:240-351)."""
+        cfg = self.cfg
+        from ldso_tpu.config import (SOLVER_FIX_LAMBDA, SOLVER_USE_GN,
+                                     SOLVER_ORTHOGONALIZE_X,
+                                     SOLVER_ORTHOGONALIZE_X_LATER)
+        if cfg.solver_mode & SOLVER_USE_GN:
+            lam = 0.0
+        if cfg.solver_mode & SOLVER_FIX_LAMBDA:
+            lam = 1e-5
+
+        HA, bA, HL, bL, Hsc, bsc, aux, delta, nresA = ba.build_system(self.W)
+        n = CPARS + 8 * self.n_frames
+        HA = np.asarray(HA, np.float64)[:n, :n]
+        bA = np.asarray(bA, np.float64)[:n]
+        HL = np.asarray(HL, np.float64)[:n, :n]
+        bL = np.asarray(bL, np.float64)[:n]
+        Hsc_n = np.asarray(Hsc, np.float64)[:n, :n]
+        bsc_n = np.asarray(bsc, np.float64)[:n]
+        delta = np.asarray(delta, np.float64)[:n]
+        self.res_in_a = int(nresA)
+
+        bM_top = self.bM + self.HM @ delta
+        HFinal = HL + self.HM + HA
+        bFinal = bL + bM_top + bA - bsc_n
+        didx = np.diag_indices(n)
+        HFinal[didx] *= (1.0 + lam)
+        HFinal = HFinal - Hsc_n * (1.0 / (1.0 + lam))
+
+        SVecI = 1.0 / np.sqrt(np.diag(HFinal) + 10.0)
+        Hs = SVecI[:, None] * HFinal * SVecI[None, :]
+        bs = SVecI * bFinal
+        x = SVecI * np.linalg.solve(Hs, bs)
+
+        if (cfg.solver_mode & SOLVER_ORTHOGONALIZE_X) or (
+                iteration >= 2 and (cfg.solver_mode & SOLVER_ORTHOGONALIZE_X_LATER)):
+            x = self._orthogonalize(x, self._nullspaces(),
+                                    cfg.solver_mode_delta)
+
+        xf = np.zeros(CPARS + 8 * self.F, np.float32)
+        xf[:n] = x
+        x_dev = jnp.asarray(xf)
+        self.W = ba.resubstitute(self.W, x_dev, aux["HdiF"], aux["bdSum"],
+                                 aux["Hcd"], aux["JpJdF"])
+        self.W = self.W._replace(pt_idepth_hessian=1.0 / jnp.maximum(aux["HdiF"], 1e-12))
+        self.last_x = x
+        return x
+
+    def calc_M_energy(self) -> float:
+        if self.cfg.force_accept_step:
+            return 0.0
+        _, _, _, _, _, _, _, delta, _ = ba.build_system(self.W)
+        n = CPARS + 8 * self.n_frames
+        d = np.asarray(delta, np.float64)[:n]
+        return float(d @ (2.0 * self.bM + self.HM @ d))
+
+    def calc_L_energy(self) -> float:
+        if self.cfg.force_accept_step:
+            return 0.0
+        return float(ba.calc_L_energy(self.W))
+
+    # ------------------------------------------------------------------ optimize
+    def optimize(self, dIs: jax.Array, max_iterations: int,
+                 img_w: int, img_h: int) -> float:
+        """The windowed BA LM loop (FullSystem::optimize, :725-864).
+        Returns the final RMSE; sets self.is_lost on divergence."""
+        cfg = self.cfg
+        nf = self.n_frames
+        if nf < 2:
+            return 0.0
+        if nf < 3:
+            max_iterations = 20
+        elif nf < 4:
+            max_iterations = 15
+        newest = nf - 1
+
+        self.W = _reset_oob(self.W)
+        self.W, eP = ba.linearize_all(self.W, dIs, cfg, img_w, img_h)
+        self.W = ba.set_new_frame_energy_th(self.W, jnp.int32(newest), cfg)
+        last_energy = float(eP)
+        lastL = self.calc_L_energy()
+        lastM = self.calc_M_energy()
+        self.W = ba.apply_res(self.W)
+
+        lam = 1e-1
+        for iteration in range(max_iterations):
+            self.W = ba.backup_state(self.W)
+            self.solve_system(iteration, lam)
+            self.W, canbreak = ba.do_step(self.W, 1.0, 1.0, 1.0, 1.0, 1.0)
+            canbreak = bool(canbreak)
+
+            self.W, eP = ba.linearize_all(self.W, dIs, cfg, img_w, img_h)
+            self.W = ba.set_new_frame_energy_th(self.W, jnp.int32(newest), cfg)
+            newL = self.calc_L_energy()
+            newM = self.calc_M_energy()
+            new_energy = float(eP)
+
+            if cfg.force_accept_step or (new_energy + newL + newM
+                                         < last_energy + lastL + lastM):
+                self.W = ba.apply_res(self.W)
+                last_energy, lastL, lastM = new_energy, newL, newM
+                lam *= 0.25
+            else:
+                self.W = ba.load_backup(self.W)
+                self.W, eP = ba.linearize_all(self.W, dIs, cfg, img_w, img_h)
+                self.W = ba.set_new_frame_energy_th(self.W, jnp.int32(newest), cfg)
+                last_energy = float(eP)
+                lastL = self.calc_L_energy()
+                lastM = self.calc_M_energy()
+                lam *= 1e2
+
+            if canbreak and iteration >= cfg.min_opt_iterations:
+                break
+
+        # re-fix the newest frame's evaluation point, keeping (a, b)
+        # (FullSystem.cc:833-841)
+        W = self.W
+        T_cur = current_poses(W)
+        new_zero = jnp.zeros(10, jnp.float32)
+        new_zero = new_zero.at[6:8].set(W.state[newest, 6:8])
+        self.W = W._replace(
+            T_eval=W.T_eval.at[newest].set(T_cur[newest]),
+            state=W.state.at[newest].set(new_zero),
+            state_zero=W.state_zero.at[newest].set(new_zero),
+        )
+
+        self.W = _reset_oob(self.W)
+        self.W, eP = ba.linearize_all(self.W, dIs, cfg, img_w, img_h)
+        self.W = ba.set_new_frame_energy_th(self.W, jnp.int32(newest), cfg)
+        self.W = _finalize_linearization(self.W)
+        last_energy = float(eP)
+        if not np.isfinite(last_energy):
+            self.is_lost = True
+        rmse = np.sqrt(last_energy / max(8 * self.res_in_a, 1))
+        return float(rmse)
+
+
+import functools
+
+
+@functools.partial(jax.jit, static_argnames=("idx",))
+def _shift_frame_out(W: Window, idx: int) -> Window:
+    """Remove frame slot idx; shift higher slots down by one (device)."""
+    F = W.F
+    perm = jnp.concatenate([jnp.arange(idx), jnp.arange(idx + 1, F),
+                            jnp.array([idx])])
+
+    def shift_f(a, axis):
+        return jnp.take(a, perm, axis=axis)
+
+    # remap pt_host: hosts > idx shift down (points hosted at idx must have
+    # been removed by the caller beforehand)
+    new_host = jnp.where(W.pt_host > idx, W.pt_host - 1, W.pt_host)
+    last = F - 1
+    W = W._replace(
+        frame_valid=shift_f(W.frame_valid, 0).at[last].set(False),
+        T_eval=shift_f(W.T_eval, 0),
+        state=shift_f(W.state, 0), state_zero=shift_f(W.state_zero, 0),
+        state_backup=shift_f(W.state_backup, 0),
+        frame_step=shift_f(W.frame_step, 0),
+        exposure=shift_f(W.exposure, 0), prior=shift_f(W.prior, 0),
+        frame_energy_th=shift_f(W.frame_energy_th, 0),
+        pt_host=new_host,
+        res_exist=shift_f(W.res_exist, 1).at[:, last].set(False),
+        res_active=shift_f(W.res_active, 1).at[:, last].set(False),
+        res_linearized=shift_f(W.res_linearized, 1).at[:, last].set(False),
+        res_state=shift_f(W.res_state, 1),
+        res_energy=shift_f(W.res_energy, 1),
+        res_new_state=shift_f(W.res_new_state, 1),
+        res_new_energy=shift_f(W.res_new_energy, 1),
+        res_new_energy_wo=shift_f(W.res_new_energy_wo, 1),
+        res_toZero=shift_f(W.res_toZero, 1),
+        Jpdxi=shift_f(W.Jpdxi, 1), Jpdc=shift_f(W.Jpdc, 1),
+        Jpdd=shift_f(W.Jpdd, 1), JIdx=shift_f(W.JIdx, 1),
+        JabF=shift_f(W.JabF, 1), resF=shift_f(W.resF, 1),
+        center_proj=shift_f(W.center_proj, 1),
+    )
+    return W

@@ -330,7 +330,7 @@ def _calc_ec(L: InitLevel, snapped):
     r_new = jnp.where(g, (L.idepth_new - L.iR) ** 2, 0.0)
     E = jnp.stack([COUPLING_WEIGHT * jnp.sum(r_old),
                    COUPLING_WEIGHT * jnp.sum(r_new)])
-    return jnp.where(snapped, E, jnp.zeros(2))
+    return jnp.where(snapped, E, jnp.zeros(2, E.dtype))
 
 
 def _opt_reg(L: InitLevel, snapped) -> InitLevel:
