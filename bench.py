@@ -1,0 +1,101 @@
+"""Benchmark: frames/sec of the full visual-odometry pipeline on TPU.
+
+Runs the complete track -> keyframe -> windowed-BA pipeline (the pure-DSO
+slice, BASELINE config[0]) on a synthetic 640x480 sequence with exact
+ground truth (no SLAM datasets ship in this container; the synthetic
+renderer exercises the identical compute path with production shapes and
+the production Config: 2048-point pool, 7-KF window, 1500 candidates).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "fps", "vs_baseline": N}
+
+Baseline: the reference is "real-time enforcing" on a commodity 6-thread
+CPU at 640x480 (preset 0; examples/run_dso_tum_mono.cc:44-88), i.e. ~30
+fps sensor rate — used as the denominator until the C++ reference is
+built and measured on the evaluation CPU (BASELINE.md TODO).
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import ldso_tpu  # noqa: F401
+    from ldso_tpu.config import Config
+    from ldso_tpu.math import lie
+    from ldso_tpu.synthetic import PlaneScene, default_calib
+    from ldso_tpu.system.full_system import FullSystem
+
+    cfg = Config()
+    calib = default_calib(640, 480)
+    scene = PlaneScene(freq_hi=25.0, contrast=80.0)
+
+    n_warm = 26       # bootstrap + fill the window + compile everything
+    n_meas = 48
+    N = n_warm + n_meas
+
+    poses = []
+    for i in range(N):
+        t = np.array([0.03 * i, 0.01 * np.sin(0.2 * i), 0.004 * i])
+        w = np.array([0.0, 0.0018 * i, 0.0004 * i])
+        T_wc = np.asarray(lie.se3_exp(jnp.asarray(np.concatenate([t, w]))))
+        poses.append(np.linalg.inv(T_wc))
+
+    # pre-render (rendering is not part of the measured pipeline)
+    images = []
+    for T in poses:
+        img, _ = scene.render(calib, jnp.asarray(T, jnp.float32))
+        images.append(np.asarray(img))
+
+    fs = FullSystem(calib, cfg)
+    for i in range(n_warm):
+        fs.add_active_frame(images[i], i, 1.0, i * 0.05)
+        if fs.is_lost or fs.init_failed:
+            print(json.dumps({"metric": "frames/sec synthetic 640x480 VO",
+                              "value": 0.0, "unit": "fps",
+                              "vs_baseline": 0.0,
+                              "error": "diverged in warmup"}))
+            return 1
+
+    t0 = time.time()
+    for i in range(n_warm, N):
+        fs.add_active_frame(images[i], i, 1.0, i * 0.05)
+        if fs.is_lost:
+            break
+    elapsed = time.time() - t0
+    n_done = len([f for f in fs.all_frames if f.id >= n_warm])
+    fps = n_done / max(elapsed, 1e-9)
+
+    # sanity: trajectory quality (similarity-aligned ATE)
+    est_ids = [f.id for f in fs.all_frames if f.pose_valid]
+    _, est = fs.trajectory()
+    gt = [poses[i] for i in est_ids]
+    est_c = np.stack([np.linalg.inv(T)[:3, 3] for T in est])
+    gt_c = np.stack([np.linalg.inv(T)[:3, 3] for T in gt])
+    ec = est_c - est_c.mean(0)
+    gc = gt_c - gt_c.mean(0)
+    s = np.sqrt((gc ** 2).sum() / max((ec ** 2).sum(), 1e-12))
+    U, _, Vt = np.linalg.svd(ec.T @ gc)
+    R = (U @ Vt).T
+    ate = float(np.sqrt(np.mean(np.sum((gc - s * (ec @ R.T)) ** 2, 1))))
+
+    baseline_fps = 30.0  # CPU-LDSO real-time envelope (see module docstring)
+    print(json.dumps({
+        "metric": "frames/sec synthetic 640x480 VO (full pipeline, preset 0)",
+        "value": round(fps, 2),
+        "unit": "fps",
+        "vs_baseline": round(fps / baseline_fps, 3),
+        "ate_m_sim_aligned": round(ate, 5),
+        "frames_measured": n_done,
+        "device": str(jax.devices()[0]),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -21,6 +21,19 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 _EPS = 1e-8
+# Tiny additive guard inside sqrt so every function stays differentiable at
+# theta == 0 (d sqrt(x)/dx blows up at 0 and leaks NaNs through jnp.where
+# branches under jacfwd — the pose-graph optimizer differentiates exp/log
+# at exactly zero-residual edges).
+_SQRT_GUARD = 1e-30
+
+
+def _safe_sqrt(x):
+    return jnp.sqrt(x + _SQRT_GUARD)
+
+
+def _safe_norm(x, axis=-1, keepdims=False):
+    return _safe_sqrt(jnp.sum(x * x, axis=axis, keepdims=keepdims))
 
 
 def hat(w):
@@ -55,7 +68,7 @@ def so3_exp(omega):
     """Rodrigues: (...,3) -> (...,3,3)."""
     omega = jnp.asarray(omega)
     theta2 = jnp.sum(omega * omega, axis=-1)
-    theta = jnp.sqrt(theta2)
+    theta = _safe_sqrt(theta2)
     small = theta < _EPS
     # sin(t)/t and (1-cos t)/t^2 with Taylor fallbacks
     a = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / jnp.where(small, 1.0, theta))
@@ -75,7 +88,7 @@ def so3_log(R):
     ~sqrt(eps) digits near pi)."""
     R = jnp.asarray(R)
     a = 0.5 * vee(R - jnp.swapaxes(R, -1, -2))        # = sin(theta) * axis
-    sin_t = jnp.linalg.norm(a, axis=-1)
+    sin_t = _safe_norm(a)
     trace = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
     cos_t = jnp.clip((trace - 1.0) * 0.5, -1.0, 1.0)
     theta = jnp.arctan2(sin_t, cos_t)
@@ -89,14 +102,14 @@ def so3_log(R):
     # theta ~ pi (sin vanishes, cos < 0): axis from the diagonal of
     # R = I + (1 - cos) [n]x^2 + sin [n]x  =>  n_i^2 ~= (R_ii + 1)/2.
     diag = jnp.stack([R[..., 0, 0], R[..., 1, 1], R[..., 2, 2]], axis=-1)
-    n_abs = jnp.sqrt(jnp.maximum((diag + 1.0) * 0.5, 0.0))
+    n_abs = _safe_sqrt(jnp.maximum((diag + 1.0) * 0.5, 0.0))
     # fix relative signs from the column of R + I with the largest |n_k|
     # (column k of R + I is 2 n n_k at theta == pi).
     k = jnp.argmax(n_abs, axis=-1)
     RpI = R + _eye_like(a, 3)
     col = jnp.take_along_axis(RpI, k[..., None, None].repeat(3, axis=-2), axis=-1)[..., 0]
     n = jnp.sign(jnp.where(col == 0.0, 1.0, col)) * n_abs
-    n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), _EPS)
+    n = n / jnp.maximum(_safe_norm(n, keepdims=True), _EPS)
     # align overall sign with the antisymmetric part when it is nonzero
     flip = jnp.sum(n * a, axis=-1) < 0.0
     n = jnp.where(flip[..., None], -n, n)
@@ -109,7 +122,7 @@ def so3_log(R):
 def _so3_left_jacobian_coeffs(omega):
     """Coefficients (a, b) of V = I + a*W + b*W^2 (left Jacobian of SO3)."""
     theta2 = jnp.sum(omega * omega, axis=-1)
-    theta = jnp.sqrt(theta2)
+    theta = _safe_sqrt(theta2)
     small = theta < _EPS
     safe_t2 = jnp.where(small, 1.0, theta2)
     safe_t3 = safe_t2 * jnp.where(small, 1.0, theta)
@@ -240,7 +253,7 @@ def _sim3_W_coeffs(theta, sigma):
 
 def sim3_W(omega, sigma):
     """The Sim(3) 'V' matrix such that t = W @ upsilon in sim3_exp."""
-    theta = jnp.linalg.norm(omega, axis=-1)
+    theta = _safe_norm(omega)
     alpha, bt, gt2 = _sim3_W_coeffs(theta, sigma)
     Wh = hat(omega)
     return (
