@@ -69,7 +69,7 @@ def so3_exp(omega):
     omega = jnp.asarray(omega)
     theta2 = jnp.sum(omega * omega, axis=-1)
     theta = _safe_sqrt(theta2)
-    small = theta < _EPS
+    small = theta < 1e-4   # Taylor accurate to ~1e-16 here
     # sin(t)/t and (1-cos t)/t^2 with Taylor fallbacks
     a = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / jnp.where(small, 1.0, theta))
     b = jnp.where(
@@ -94,7 +94,7 @@ def so3_log(R):
     theta = jnp.arctan2(sin_t, cos_t)
 
     # generic / small-angle: w = a * theta / sin(theta)
-    small = sin_t < _EPS
+    small = sin_t < 1e-4
     factor = jnp.where(small, 1.0 + theta * theta / 6.0,
                        theta / jnp.where(small, 1.0, sin_t))
     w_generic = factor[..., None] * a
@@ -123,7 +123,7 @@ def _so3_left_jacobian_coeffs(omega):
     """Coefficients (a, b) of V = I + a*W + b*W^2 (left Jacobian of SO3)."""
     theta2 = jnp.sum(omega * omega, axis=-1)
     theta = _safe_sqrt(theta2)
-    small = theta < _EPS
+    small = theta < 1e-4
     safe_t2 = jnp.where(small, 1.0, theta2)
     safe_t3 = safe_t2 * jnp.where(small, 1.0, theta)
     a = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / safe_t2)
@@ -216,18 +216,24 @@ def sim3_rt(S):
 def _sim3_W_coeffs(theta, sigma):
     """W = alpha*I + (beta/theta)*What + (gamma/theta^2)*What^2 with
     W = integral_0^1 e^{sigma u} exp(u*What) du. Returns the three scalar
-    coefficients (of I, What, What^2) with all singular limits handled."""
+    coefficients (of I, What, What^2) with all singular limits handled.
+
+    The Taylor branches take over at 1e-4 — well before the closed forms
+    (whose numerators cancel to O(theta^3)) lose precision; the series are
+    accurate to ~1e-12 there."""
     theta2 = theta * theta
     sigma2 = sigma * sigma
     es = jnp.exp(sigma)
-    t_small = theta < _EPS
-    s_small = jnp.abs(sigma) < _EPS
+    t_small = theta < 1e-4
+    s_small = jnp.abs(sigma) < 1e-4
 
     # alpha = expm1(sigma)/sigma
     alpha = jnp.where(s_small, 1.0 + sigma / 2.0 + sigma2 / 6.0,
                       jnp.expm1(sigma) / jnp.where(s_small, 1.0, sigma))
 
-    denom = jnp.where((sigma2 + theta2) < _EPS, 1.0, sigma2 + theta2)
+    # when theta >= 1e-4 the denominator is >= 1e-8; the guard only protects
+    # the branch that is discarded by t_small anyway
+    denom = jnp.where((sigma2 + theta2) < 1e-12, 1.0, sigma2 + theta2)
     sin_t, cos_t = jnp.sin(theta), jnp.cos(theta)
 
     # generic closed forms (valid when theta not small)

@@ -73,7 +73,7 @@ def _motion_hypotheses(lastF_2_slast, fh_2_slast):
 
 class FullSystem:
     def __init__(self, calib: Calibration, cfg: Config,
-                 b_grad_lut: Optional[np.ndarray] = None):
+                 b_grad_lut: Optional[np.ndarray] = None, vocab=None):
         self.calib = calib
         self.cfg = cfg
         self.b_grad = jnp.asarray(b_grad_lut, jnp.float32) if b_grad_lut is not None else None
@@ -81,6 +81,11 @@ class FullSystem:
         self.ef = EnergyFunctional(cfg, calib)
         self.selector = select_ops.PixelSelector(calib.w[0], calib.h[0], cfg)
         self.global_map = GlobalMap()
+        self.loop_closing = None
+        if cfg.enable_loop_closing:
+            from ldso_tpu.loop.loopclosing import LoopClosing
+            self.loop_closing = LoopClosing(calib, cfg, self.global_map,
+                                            vocab=vocab)
 
         self.initialized = False
         self.is_lost = False
@@ -475,12 +480,16 @@ class FullSystem:
             u_np = np.asarray(pool.u)
             v_np = np.asarray(pool.v)
             idm = 0.5 * (id_max + id_min)
-            p = KRKi @ np.stack([u_np, v_np, np.ones_like(u_np)]) + Kt[:, None] * idm
-            uu = p[0] / p[2]
-            vv = p[1] / p[2]
+            idm_safe = np.where(np.isfinite(idm), idm, 0.0)
+            p = KRKi @ np.stack([u_np, v_np, np.ones_like(u_np)]) \
+                + Kt[:, None] * idm_safe
+            z_ok = p[2] > 1e-6
+            zs = np.where(z_ok, p[2], 1.0)
+            uu = p[0] / zs
+            vv = p[1] / zs
             ui = (uu + 0.5).astype(int)
             vi = (vv + 0.5).astype(int)
-            inb = (ui > 0) & (vi > 0) & (ui < w1) & (vi < h1)
+            inb = z_ok & (ui > 0) & (vi > 0) & (ui < w1) & (vi < h1)
             kill |= can & ~inb
             can &= inb
             dist = np.where(inb, dist_np[np.clip(vi, 0, h1 - 1),
@@ -671,6 +680,33 @@ class FullSystem:
                 i += 1
 
         self.global_map.add_keyframe(shell)
+
+        # ===== loop closing (makeKeyFrame :585-589 -> LoopClosing thread) ====
+        if self.loop_closing is not None:
+            # feature depths: every window point projected into the new KF
+            # via the BA's centerProjectedTo (LoopClosing.cc:281-283 reads
+            # the same idepth map)
+            W = self.ef.W
+            nf = len(self.window_frames)
+            newest = nf - 1
+            m = np.asarray(W.pt_valid & W.res_exist[:, newest]
+                           & (W.res_state[:, newest] == RES_IN))
+            cp = np.asarray(W.center_proj[:, newest])
+            # points hosted in the new KF itself project at their own uv
+            mh = np.asarray(W.pt_valid & (W.pt_host == newest))
+            rows = []
+            if m.any():
+                rows.append(np.stack([cp[m, 0], cp[m, 1], cp[m, 2]], 1))
+            if mh.any():
+                rows.append(np.stack([np.asarray(W.pt_u)[mh],
+                                      np.asarray(W.pt_v)[mh],
+                                      np.asarray(W.idepth)[mh]], 1))
+            pui = np.concatenate(rows, 0) if rows else None
+            self.loop_closing.make_kf_record(shell, pyr, pui)
+            window_ids = [f.kf_id for f in self.window_frames]
+            closed = self.loop_closing.insert_keyframe(shell, window_ids)
+            if closed:
+                self.loop_closing.run_pose_graph_if_needed()
 
     def make_non_keyframe(self, shell: FrameShell, pyr: FramePyramid):
         self._trace_new_coarse(shell, pyr)
