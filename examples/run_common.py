@@ -1,0 +1,137 @@
+"""Shared CLI runner: the reference's key=value argument parsing, presets,
+frame loop, init-failure auto-reset, fps reporting, and trajectory output
+(mirrors examples/run_dso_tum_mono.cc:91-471)."""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def parse_args(argv):
+    opts = dict(files=None, calib=None, gamma=None, vignette=None,
+                vocab=None, preset=0, mode=0, loopclosing=True,
+                start=0, end=100000, output="results.txt", nogui=True,
+                point_selection=None, quiet=False)
+    for arg in argv:
+        if "=" not in arg:
+            continue
+        k, v = arg.split("=", 1)
+        if k in ("files", "calib", "gamma", "vignette", "vocab", "output"):
+            opts[k] = v
+        elif k in ("preset", "mode", "start", "end"):
+            opts[k] = int(v)
+        elif k == "loopclosing":
+            opts[k] = v not in ("0", "false", "False")
+        elif k == "pointSelection":
+            opts["point_selection"] = int(v)
+        elif k in ("nogui", "quiet", "nolog", "speed", "nomt", "save"):
+            pass  # accepted for CLI parity; no-ops here
+    return opts
+
+
+def build_system(opts, dataset_type: str):
+    import jax.numpy as jnp
+    from ldso_tpu.config import preset as make_preset
+    import dataclasses
+
+    from ldso_tpu.io.datasets import ImageFolderReader
+    from ldso_tpu.system.full_system import FullSystem
+    from ldso_tpu.loop.vocab import Vocabulary
+
+    if opts["files"] is None or opts["calib"] is None:
+        print("usage: files=<path> calib=<camera.txt> [gamma=] [vignette=] "
+              "[vocab=] [preset=0..3] [mode=0|1] [loopclosing=1] "
+              "[start=] [end=] [output=results.txt]")
+        sys.exit(1)
+
+    cfg = make_preset(opts["preset"])
+    # mode=1: photometric calibration absent (run_dso_kitti default)
+    if opts["mode"] == 1:
+        cfg = dataclasses.replace(cfg, photometric_calibration=0,
+                                  affine_opt_mode_a=0.0, affine_opt_mode_b=0.0)
+    cfg = dataclasses.replace(cfg, enable_loop_closing=opts["loopclosing"])
+    if opts["point_selection"] is not None:
+        cfg = dataclasses.replace(cfg, point_selection=opts["point_selection"])
+
+    reader = ImageFolderReader(opts["files"], opts["calib"], opts["gamma"],
+                               opts["vignette"], dataset_type=dataset_type)
+    calib = reader.calibration()
+
+    vocab = None
+    if opts["vocab"] and os.path.exists(opts["vocab"]):
+        try:
+            vocab = Vocabulary.load_text(opts["vocab"])
+            print(f"loaded vocabulary: {vocab.n_words} words")
+        except Exception as e:  # noqa: BLE001
+            print(f"vocabulary load failed ({e}); training online instead")
+
+    b_grad = None
+    pc = reader.undistorter.photometric
+    if pc is not None and pc.valid and cfg.gamma_weights_pixel_select:
+        B = pc.inverse_response_B()
+        b_grad = np.diff(np.concatenate([B, B[-1:]])).astype(np.float32)
+
+    fs = FullSystem(calib, cfg, b_grad_lut=b_grad, vocab=vocab)
+    return fs, reader, calib, cfg
+
+
+def run(opts, dataset_type: str, kitti_output: bool = False):
+    from ldso_tpu.io.trajectory import write_kitti, write_tum, save_ply
+    from ldso_tpu.system.full_system import FullSystem
+
+    fs, reader, calib, cfg = build_system(opts, dataset_type)
+    n = reader.num_images()
+    lo, hi = opts["start"], min(opts["end"], n)
+    print(f"dataset: {n} images, running [{lo}, {hi})  "
+          f"{calib.w[0]}x{calib.h[0]}, {calib.levels} levels")
+
+    t0 = time.time()
+    n_run = 0
+    i = lo
+    while i < hi:
+        img, expo, ts = reader.get_image(i)
+        fs.add_active_frame(img, i, expo, ts)
+        n_run += 1
+
+        # init-failure auto-reset within the first 250 frames
+        # (run_dso_tum_mono.cc:404-417)
+        if fs.init_failed and i - lo < 250:
+            print(f"init failed at frame {i}; resetting")
+            fs, reader2, calib, cfg = build_system(opts, dataset_type)
+        if fs.is_lost:
+            print(f"LOST at frame {i}")
+            break
+        if n_run % 50 == 0:
+            dt = time.time() - t0
+            print(f"frame {i}: {n_run / dt:.2f} fps, "
+                  f"{fs.global_map.num_frames()} KFs")
+        i += 1
+
+    dt = time.time() - t0
+    print(f"processed {n_run} frames in {dt:.1f}s = {n_run / max(dt, 1e-9):.2f} fps")
+
+    # final global optimization + outputs
+    if fs.loop_closing is not None and fs.global_map.num_frames() > 4:
+        from ldso_tpu.loop import posegraph
+        posegraph.run_pose_graph(fs.global_map)
+
+    out = opts["output"]
+    kfs = fs.global_map.get_all_kfs()
+    if kitti_output:
+        write_kitti(out, [kf.id for kf in kfs], [kf.get_S_cw() for kf in kfs])
+        write_kitti(out + ".noloop", [kf.id for kf in kfs],
+                    [kf.T_cw for kf in kfs])
+    else:
+        write_tum(out, [kf.timestamp for kf in kfs],
+                  [kf.get_S_cw() for kf in kfs])
+        write_tum(out + ".noloop", [kf.timestamp for kf in kfs],
+                  [kf.T_cw for kf in kfs])
+    pc = fs.global_map.point_cloud()
+    if len(pc):
+        save_ply("pointcloud.ply", pc)
+    print(f"wrote {out} (+.noloop), {len(pc)} map points")
+    return fs
