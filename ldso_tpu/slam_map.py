@@ -72,6 +72,70 @@ class GlobalMap:
         self.keyframes: Dict[int, FrameShell] = {}
         self.latest_optimized_kf_id: int = -1
 
+    # ------------------------------------------------------------- save/load
+    def save(self, path: str):
+        """Map snapshot (FullSystem::saveAll, FullSystem.cc:1872-1893 +
+        Frame::save, src/Frame.cc:121-160): keyframes with poses, features
+        (uv/idepth/descriptor), retired points, and poseRel edges — as npz."""
+        blobs = {"latest_optimized": np.array(self.latest_optimized_kf_id)}
+        ids = sorted(self.keyframes)
+        blobs["kf_ids"] = np.array(ids, np.int64)
+        for k in ids:
+            kf = self.keyframes[k]
+            p = f"kf{k}_"
+            blobs[p + "meta"] = np.array([kf.id, kf.timestamp, kf.exposure])
+            blobs[p + "T_cw"] = kf.T_cw
+            blobs[p + "S_cw"] = kf.get_S_cw()
+            blobs[p + "aff"] = kf.aff
+            if kf.feat_uv is not None:
+                blobs[p + "feat_uv"] = kf.feat_uv
+                blobs[p + "feat_desc"] = kf.feat_desc
+                blobs[p + "feat_idepth"] = kf.feat_idepth
+            if kf.map_points:
+                blobs[p + "points"] = np.array(
+                    [[mp.u, mp.v, mp.idepth] for mp in kf.map_points])
+            if kf.pose_rel:
+                oids = sorted(kf.pose_rel)
+                blobs[p + "rel_ids"] = np.array(oids, np.int64)
+                blobs[p + "rel_S"] = np.stack(
+                    [kf.pose_rel[o][0] for o in oids])
+                blobs[p + "rel_info"] = np.stack(
+                    [kf.pose_rel[o][1] for o in oids])
+                blobs[p + "rel_loop"] = np.array(
+                    [kf.pose_rel[o][2] for o in oids])
+        np.savez_compressed(path, **blobs)
+
+    @staticmethod
+    def load(path: str) -> "GlobalMap":
+        """Inverse of save (FullSystem::loadAll, FullSystem.cc:1895-1918)."""
+        z = np.load(path, allow_pickle=False)
+        gm = GlobalMap()
+        gm.latest_optimized_kf_id = int(z["latest_optimized"])
+        for k in z["kf_ids"]:
+            k = int(k)
+            p = f"kf{k}_"
+            meta = z[p + "meta"]
+            kf = FrameShell(id=int(meta[0]), timestamp=float(meta[1]),
+                            exposure=float(meta[2]), kf_id=k,
+                            T_cw=z[p + "T_cw"], aff=z[p + "aff"])
+            kf.S_cw = z[p + "S_cw"]
+            if p + "feat_uv" in z:
+                kf.feat_uv = z[p + "feat_uv"]
+                kf.feat_desc = z[p + "feat_desc"]
+                kf.feat_idepth = z[p + "feat_idepth"]
+            if p + "points" in z:
+                for row in z[p + "points"]:
+                    kf.map_points.append(MapPointRecord(
+                        host_kf_id=k, u=float(row[0]), v=float(row[1]),
+                        idepth=float(row[2])))
+            if p + "rel_ids" in z:
+                for j, o in enumerate(z[p + "rel_ids"]):
+                    kf.pose_rel[int(o)] = (z[p + "rel_S"][j],
+                                           z[p + "rel_info"][j],
+                                           bool(z[p + "rel_loop"][j]))
+            gm.add_keyframe(kf)
+        return gm
+
     def add_keyframe(self, fr: FrameShell):
         fr.is_keyframe = True
         self.keyframes[fr.kf_id] = fr

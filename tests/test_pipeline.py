@@ -1,0 +1,86 @@
+"""Async pipeline + map checkpoint tests."""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ldso_tpu.config import Config
+from ldso_tpu.math import lie
+from ldso_tpu.slam_map import FrameShell, GlobalMap, MapPointRecord
+from ldso_tpu.synthetic import PlaneScene, default_calib
+from ldso_tpu.system.full_system import FullSystem
+from ldso_tpu.system.pipeline import AsyncPipeline
+
+
+class TestCheckpoint:
+    def test_map_save_load_roundtrip(self, tmp_path):
+        gm = GlobalMap()
+        rng = np.random.RandomState(0)
+        for k in range(4):
+            T = np.asarray(lie.se3_exp(jnp.asarray(rng.randn(6) * 0.2)))
+            kf = FrameShell(id=k * 3, kf_id=k, timestamp=0.1 * k, T_cw=T)
+            kf.feat_uv = rng.rand(7, 2).astype(np.float32) * 100
+            kf.feat_desc = rng.randint(0, 2 ** 32, (7, 8), dtype=np.uint32)
+            kf.feat_idepth = rng.rand(7).astype(np.float32)
+            kf.map_points.append(MapPointRecord(k, 0.1, 0.2, 0.5))
+            if k > 0:
+                kf.add_pose_rel(k - 1, np.asarray(
+                    lie.sim3_exp(jnp.asarray(rng.randn(7) * 0.1))),
+                    np.eye(7) * 2.0, is_loop=(k == 3))
+            gm.add_keyframe(kf)
+        gm.latest_optimized_kf_id = 3
+        path = str(tmp_path / "map.npz")
+        gm.save(path)
+        gm2 = GlobalMap.load(path)
+        assert gm2.num_frames() == 4
+        assert gm2.latest_optimized_kf_id == 3
+        for k in range(4):
+            a, b = gm.keyframes[k], gm2.keyframes[k]
+            np.testing.assert_allclose(b.T_cw, a.T_cw, atol=1e-12)
+            np.testing.assert_array_equal(b.feat_desc, a.feat_desc)
+            assert len(b.map_points) == 1
+            assert abs(b.map_points[0].idepth - 0.5) < 1e-9
+            assert set(b.pose_rel) == set(a.pose_rel)
+            for o in a.pose_rel:
+                np.testing.assert_allclose(b.pose_rel[o][0],
+                                           a.pose_rel[o][0], atol=1e-12)
+                assert b.pose_rel[o][2] == a.pose_rel[o][2]
+
+
+@pytest.mark.slow
+class TestAsyncPipeline:
+    def test_async_matches_sync_quality(self):
+        cfg = Config(max_points=512, max_immature=512,
+                     tracker_caps=(4096, 2048, 1024, 512, 256, 128),
+                     desired_point_density=300, desired_immature_density=250,
+                     enable_loop_closing=False)
+        calib = default_calib(192, 144)
+        scene = PlaneScene(freq_hi=25.0, contrast=80.0)
+        poses = []
+        for i in range(20):
+            t = np.array([0.035 * i, 0.01 * np.sin(0.2 * i), 0.003 * i,
+                          0.0, 0.0015 * i, 0.0])
+            poses.append(np.linalg.inv(np.asarray(lie.se3_exp(jnp.asarray(t)))))
+
+        fs = FullSystem(calib, cfg)
+        pipe = AsyncPipeline(fs, linearize_operation=False)
+        for i, T in enumerate(poses):
+            img, _ = scene.render(calib, jnp.asarray(T, jnp.float32))
+            pipe.add_active_frame(np.asarray(img), i, 1.0, i * 0.05)
+            assert not fs.is_lost
+        pipe.block_until_mapping_is_finished()
+        assert fs.initialized
+        assert fs.global_map.num_frames() >= 3
+
+        from ldso_tpu.io.trajectory import ate_rmse
+        est_ids = [f.id for f in fs.all_frames if f.pose_valid]
+        _, est = fs.trajectory()
+        gt = [poses[i] for i in est_ids]
+        ate = ate_rmse(est, gt)
+        assert ate < 0.01, f"async ATE {ate}"
+
+
+if __name__ == "__main__":
+    pytest.main([__file__, "-q", "-x"])
