@@ -150,24 +150,28 @@ def detect_corners(dI: jax.Array, abs_grad: jax.Array, n_features: int,
 
     # corners: > 1% of max score + 5 px NMS (FeatureDetector.cc:97-118)
     max_score = scores.max()
-    is_corner = scores > 0.01 * max_score
-    order = np.argsort(-scores)
-    alive = is_corner.copy()
-    pos = np.stack([us, vs], axis=1).astype(np.float64)
-    taken_pos = []
-    taken_idx = []
-    for i in order:
-        if not alive[i]:
-            continue
-        if taken_pos:
-            d = np.linalg.norm(np.array(taken_pos) - pos[i], axis=1)
-            if (d < 5.0).any():
-                alive[i] = False
+    gate = scores > 0.01 * max_score
+    from ldso_tpu import native
+    keep = native.radius_nms(us[gate].astype(np.float32),
+                             vs[gate].astype(np.float32),
+                             scores[gate].astype(np.float32), 5.0)
+    if keep is None:  # pure-python fallback (no toolchain)
+        gi = np.nonzero(gate)[0]
+        order = np.argsort(-scores[gi])
+        taken_pos, taken = [], []
+        pos = np.stack([us, vs], axis=1).astype(np.float64)
+        for oi in order:
+            i = gi[oi]
+            if taken_pos and (np.linalg.norm(
+                    np.array(taken_pos) - pos[i], axis=1) < 5.0).any():
                 continue
-        taken_pos.append(pos[i])
-        taken_idx.append(i)
-    is_corner = np.zeros(len(us), bool)
-    is_corner[taken_idx] = True
+            taken_pos.append(pos[i])
+            taken.append(i)
+        is_corner = np.zeros(len(us), bool)
+        is_corner[taken] = True
+    else:
+        is_corner = np.zeros(len(us), bool)
+        is_corner[np.nonzero(gate)[0][keep]] = True
 
     # cap to capacity, corners first
     order2 = np.argsort(~is_corner * 1 + 0.0 - scores / (scores.max() + 1e-9))
