@@ -378,7 +378,11 @@ class EnergyFunctional:
     def optimize(self, dIs: jax.Array, max_iterations: int,
                  img_w: int, img_h: int) -> float:
         """The windowed BA LM loop (FullSystem::optimize, :725-864).
-        Returns the final RMSE; sets self.is_lost on divergence."""
+        Returns the final RMSE; sets self.is_lost on divergence.
+
+        Default mode (forceAcceptStep + FIX_LAMBDA, the reference defaults)
+        runs as ONE device program (backend/ba_device.py); the general
+        accept/reject LM falls back to the host-orchestrated loop below."""
         cfg = self.cfg
         nf = self.n_frames
         if nf < 2:
@@ -388,6 +392,23 @@ class EnergyFunctional:
         elif nf < 4:
             max_iterations = 15
         newest = nf - 1
+
+        if cfg.force_accept_step:
+            from ldso_tpu.backend import ba_device
+            n_full = CPARS + 8 * self.F
+            HMp = np.zeros((n_full, n_full), np.float32)
+            bMp = np.zeros(n_full, np.float32)
+            n = CPARS + 8 * nf
+            HMp[:n, :n] = self.HM
+            bMp[:n] = self.bM
+            self.W, stats = ba_device.optimize_device(
+                self.W, dIs, jnp.asarray(HMp), jnp.asarray(bMp),
+                jnp.int32(newest), cfg, img_w, img_h, max_iterations)
+            stats = np.asarray(stats)
+            self.res_in_a = int(stats[1])
+            if not np.isfinite(stats[0]):
+                self.is_lost = True
+            return float(stats[2])
 
         self.W = _reset_oob(self.W)
         self.W, eP = ba.linearize_all(self.W, dIs, cfg, img_w, img_h)

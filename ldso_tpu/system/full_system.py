@@ -19,6 +19,7 @@ tracking/mapping split can be layered on top (SURVEY.md §2.3).
 
 from __future__ import annotations
 
+import functools
 from typing import List, Optional
 
 import jax
@@ -38,6 +39,70 @@ from ldso_tpu.ops.distance_map import distance_transform
 from ldso_tpu.ops.interp import bilinear
 from ldso_tpu.ops.preprocess import FramePyramid, make_pyramid
 from ldso_tpu.slam_map import FrameShell, GlobalMap, MapPointRecord
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "w1", "h1"))
+def _gate_candidates(pool, KRKi, Kt, dist_map, min_act_dist, marg_flag,
+                     cfg: Config, w1: int, h1: int):
+    """Device-side activation gating for one immature pool
+    (activatePointsMT candidate loop, FullSystem.cc:1089-1160).
+    Returns (to_opt, remove, idm) with one host pull."""
+    st = pool.status
+    valid = pool.valid
+    id_max = pool.idepth_max
+    finite_max = jnp.isfinite(id_max)
+    drop = valid & (~finite_max | (st == immature.IPS_OUTLIER))
+    can = (valid & ~drop
+           & ((st == immature.IPS_GOOD) | (st == immature.IPS_SKIPPED)
+              | (st == immature.IPS_BADCONDITION) | (st == immature.IPS_OOB))
+           & (pool.last_interval < 8.0)
+           & (pool.quality > cfg.min_trace_quality)
+           & (id_max + pool.idepth_min > 0))
+    kill = valid & ~drop & ~can & (marg_flag | (st == immature.IPS_OOB))
+
+    idm = 0.5 * (jnp.where(finite_max, id_max, 0.0) + pool.idepth_min)
+    ones = jnp.ones_like(pool.u)
+    p = jnp.stack([pool.u, pool.v, ones], -1) @ KRKi.T + Kt[None, :] * idm[:, None]
+    z_ok = p[:, 2] > 1e-6
+    zs = jnp.where(z_ok, p[:, 2], 1.0)
+    uu = p[:, 0] / zs
+    vv = p[:, 1] / zs
+    ui = jnp.clip((uu + 0.5).astype(jnp.int32), 0, w1 - 1)
+    vi = jnp.clip((vv + 0.5).astype(jnp.int32), 0, h1 - 1)
+    inb = z_ok & (ui > 0) & (vi > 0) & (ui < w1) & (vi < h1)
+    kill = kill | (can & ~inb)
+    can = can & inb
+    dist = dist_map[vi, ui] + (uu - jnp.floor(uu))
+    to_opt = can & (dist >= min_act_dist * pool.my_type.astype(jnp.float32))
+    return to_opt, drop | kill, idm
+
+
+@jax.jit
+def _flag_removal_device(W, marg_frame_targets, host_flagged, newest, prev):
+    """flagPointsForRemoval decision logic on device (FullSystem.cc:1208-1270).
+    Returns (drop, marg_cand) bool masks."""
+    nres = jnp.sum(W.res_exist, axis=1)
+    vis_in_marg = jnp.sum(W.res_exist & (W.res_state == RES_IN)
+                          & marg_frame_targets[None, :], axis=1)
+    last0 = W.res_state[:, newest]
+    last0_exist = W.res_exist[:, newest]
+    has_prev = prev >= 0
+    prev_c = jnp.maximum(prev, 0)
+    last1 = W.res_state[:, prev_c]
+    last1_exist = W.res_exist[:, prev_c] & has_prev
+
+    is_oob = ((nres >= 3) & (W.pt_num_good_res > 14)
+              & (nres - vis_in_marg < 3))
+    is_oob = is_oob | (last0_exist & (last0 == RES_OOB))
+    is_oob = is_oob | ((nres >= 2) & last0_exist & last1_exist
+                       & (last0 == RES_OUTLIER) & (last1 == RES_OUTLIER))
+
+    no_res = W.pt_valid & ((W.idepth < 0) | (nres == 0))
+    oob_or_flagged = W.pt_valid & ~no_res & (is_oob | host_flagged)
+    is_inlier = (nres >= 3) & (W.pt_num_good_res >= 4)
+    drop = no_res | (oob_or_flagged & ~is_inlier)
+    marg_cand = oob_or_flagged & is_inlier
+    return drop, marg_cand
 
 
 def _motion_hypotheses(lastF_2_slast, fh_2_slast):
@@ -450,52 +515,22 @@ class FullSystem:
         dist_map = distance_transform(jnp.asarray(occ))
         dist_np = np.asarray(dist_map)
 
-        # candidate gathering per host pool
+        # candidate gathering per host pool (gating on device, one pull)
         for i in range(nf):
             pool = self.immature_pools[i]
             if pool is None or i == newest_i:
                 continue
-            st = np.asarray(pool.status)
-            valid = np.asarray(pool.valid)
-            interval = np.asarray(pool.last_interval)
-            quality = np.asarray(pool.quality)
-            id_min = np.asarray(pool.idepth_min)
-            id_max = np.asarray(pool.idepth_max)
-            my_type = np.asarray(pool.my_type)
-
-            dead = valid & (~np.isfinite(id_max) & (st == immature.IPS_OUTLIER))
-            drop = valid & ((~np.isfinite(id_max)) | (st == immature.IPS_OUTLIER))
-            can = (valid & ~drop
-                   & np.isin(st, [immature.IPS_GOOD, immature.IPS_SKIPPED,
-                                  immature.IPS_BADCONDITION, immature.IPS_OOB])
-                   & (interval < 8) & (quality > cfg.min_trace_quality)
-                   & (id_max + id_min > 0))
-            # points that can't activate and are OOB / host-flagged: delete
-            kill = valid & ~can & (np.asarray([self.marg_flags[i]] * len(st))
-                                   | (st == immature.IPS_OOB))
-
             T_rel = T[newest_i] @ np.linalg.inv(T[i])
             KRKi = K1 @ T_rel[:3, :3] @ Ki0
             Kt = K1 @ T_rel[:3, 3]
-            u_np = np.asarray(pool.u)
-            v_np = np.asarray(pool.v)
-            idm = 0.5 * (id_max + id_min)
-            idm_safe = np.where(np.isfinite(idm), idm, 0.0)
-            p = KRKi @ np.stack([u_np, v_np, np.ones_like(u_np)]) \
-                + Kt[:, None] * idm_safe
-            z_ok = p[2] > 1e-6
-            zs = np.where(z_ok, p[2], 1.0)
-            uu = p[0] / zs
-            vv = p[1] / zs
-            ui = (uu + 0.5).astype(int)
-            vi = (vv + 0.5).astype(int)
-            inb = z_ok & (ui > 0) & (vi > 0) & (ui < w1) & (vi < h1)
-            kill |= can & ~inb
-            can &= inb
-            dist = np.where(inb, dist_np[np.clip(vi, 0, h1 - 1),
-                                         np.clip(ui, 0, w1 - 1)], 0.0) \
-                + (uu - np.floor(uu))
-            to_opt = can & (dist >= self.current_min_act_dist * my_type)
+            to_opt_d, remove_d, idm_d = _gate_candidates(
+                pool, jnp.asarray(KRKi, jnp.float32),
+                jnp.asarray(Kt, jnp.float32), dist_map,
+                jnp.float32(self.current_min_act_dist),
+                jnp.asarray(self.marg_flags[i]), cfg, w1, h1)
+            to_opt = np.asarray(to_opt_d)
+            remove = np.asarray(remove_d)
+            idm = np.asarray(idm_d)
 
             if to_opt.any():
                 # batched depth-only activation against all window frames
@@ -535,9 +570,8 @@ class FullSystem:
                         idepth=np.asarray(new_id)[okn],
                         energy_th=np.asarray(pool.energy_th)[okn])
                 # activated or failed-to-optimize candidates leave the pool
-                kill |= to_opt
+                remove = remove | to_opt
 
-            remove = drop | kill | dead
             if remove.any():
                 self.immature_pools[i] = pool._replace(
                     valid=pool.valid & ~jnp.asarray(remove))
@@ -545,45 +579,19 @@ class FullSystem:
                 fr._n_dead_points = getattr(fr, "_n_dead_points", 0) + int(remove.sum())
 
     def _flag_points_for_removal(self):
-        """flagPointsForRemoval (:1208-1270). Returns (drop_mask, marg_mask)."""
-        cfg = self.cfg
+        """flagPointsForRemoval (:1208-1270). Returns (drop_mask, marg_mask);
+        the decision logic runs on device, one pull."""
         W = self.ef.W
         nf = len(self.window_frames)
-        newest, prev = nf - 1, nf - 2
-
-        pt_valid = np.asarray(W.pt_valid)
-        pt_host = np.asarray(W.pt_host)
-        idepth = np.asarray(W.idepth)
-        res_exist = np.asarray(W.res_exist)
-        res_state = np.asarray(W.res_state)
-        num_good = np.asarray(W.pt_num_good_res)
-
-        host_flagged = np.asarray([self.marg_flags[h] if h < nf else False
-                                   for h in pt_host])
         marg_frame_targets = np.asarray(
             [self.marg_flags[j] if j < nf else False for j in range(self.ef.F)])
-
-        nres = res_exist.sum(axis=1)
-        vis_in_marg = (res_exist & (res_state == RES_IN)
-                       & marg_frame_targets[None, :]).sum(axis=1)
-        last0 = res_state[:, newest]
-        last0_exist = res_exist[:, newest]
-        last1 = res_state[:, prev] if prev >= 0 else np.full_like(last0, RES_OOB)
-        last1_exist = res_exist[:, prev] if prev >= 0 else np.zeros_like(last0_exist)
-
-        is_oob = ((nres >= 3) & (num_good > 4 + 10)
-                  & (nres - vis_in_marg < 3))
-        is_oob |= last0_exist & (last0 == RES_OOB)
-        is_oob |= ((nres >= 2) & last0_exist & last1_exist
-                   & (last0 == RES_OUTLIER) & (last1 == RES_OUTLIER))
-
-        no_res = pt_valid & ((idepth < 0) | (nres == 0))
-        oob_or_flagged = pt_valid & ~no_res & (is_oob | host_flagged)
-        is_inlier = (nres >= 3) & (num_good >= 4)
-
-        drop = no_res | (oob_or_flagged & ~is_inlier)
-        marg_cand = oob_or_flagged & is_inlier
-        return drop, marg_cand
+        flags_dev = jnp.asarray(np.concatenate(
+            [np.asarray(self.marg_flags), np.zeros(self.ef.F - nf, bool)]))
+        host_flagged = flags_dev[jnp.minimum(W.pt_host, self.ef.F - 1)]
+        drop, marg = _flag_removal_device(
+            W, jnp.asarray(marg_frame_targets), host_flagged,
+            jnp.int32(nf - 1), jnp.int32(nf - 2))
+        return np.asarray(drop), np.asarray(marg)
 
     def make_keyframe(self, shell: FrameShell, pyr: FramePyramid):
         cfg, calib = self.cfg, self.calib

@@ -1,0 +1,57 @@
+"""On-device LM loop vs the host-orchestrated reference path."""
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ldso_tpu.math import lie
+from ldso_tpu.backend.window import current_poses
+from test_backend import _build_ef, CFG
+
+
+class TestDeviceOptimize:
+    def test_matches_host_path(self):
+        """Device single-program optimize reaches the same solution as the
+        host loop (f32 solve + refinement vs host f64)."""
+        res = {}
+        for mode in ("host", "device"):
+            ef, dIs, poses, idep0, calib, (w, h) = _build_ef(
+                pose_noise=2e-3, idepth_noise=0.05, n_pts=100)
+            if mode == "host":
+                ef.cfg = dataclasses.replace(CFG, force_accept_step=False)
+                # the host path without force-accept evaluates real energies
+            rmse = ef.optimize(dIs, 10, w, h)
+            T = np.asarray(current_poses(ef.W), np.float64)
+            good = np.asarray(ef.W.pt_valid)
+            res[mode] = (rmse, T, np.asarray(ef.W.idepth)[good])
+            assert not ef.is_lost
+
+        rel_h = res["host"][1][2] @ np.linalg.inv(res["host"][1][0])
+        rel_d = res["device"][1][2] @ np.linalg.inv(res["device"][1][0])
+        err = np.asarray(lie.se3_log(jnp.asarray(
+            np.linalg.inv(rel_h) @ rel_d)))
+        assert np.linalg.norm(err) < 1e-3, f"device vs host pose diff {err}"
+        assert abs(res["host"][0] - res["device"][0]) < 0.3
+        # idepths agree
+        np.testing.assert_allclose(res["device"][2], res["host"][2],
+                                   rtol=0.02, atol=1e-3)
+
+    def test_device_converges_to_gt(self):
+        ef, dIs, poses, idep0, calib, (w, h) = _build_ef(
+            pose_noise=2e-3, idepth_noise=0.05, n_pts=100)
+        assert ef.cfg.force_accept_step
+        rmse = ef.optimize(dIs, 10, w, h)
+        assert rmse < 3.0
+        T = np.asarray(current_poses(ef.W), np.float64)
+        for i in range(1, 3):
+            rel_est = T[i] @ np.linalg.inv(T[0])
+            rel_gt = poses[i] @ np.linalg.inv(poses[0])
+            err = np.asarray(lie.se3_log(jnp.asarray(
+                np.linalg.inv(rel_gt) @ rel_est)))
+            assert np.linalg.norm(err[3:]) < 2e-3
+
+
+if __name__ == "__main__":
+    pytest.main([__file__, "-q", "-x"])
