@@ -30,4 +30,18 @@ import jax
 #    kernels opt down explicitly after validation.
 jax.config.update("jax_default_matmul_precision", "highest")
 
+# Persistent compilation cache: the axon remote-compile path costs
+# 30-120 s per program; caching compiled executables on disk makes every
+# process after the first start in seconds.
+import os as _os  # noqa: E402
+
+_cache_dir = _os.environ.get("LDSO_TPU_JAX_CACHE",
+                             _os.path.expanduser("~/.cache/ldso_tpu_jax"))
+try:
+    _os.makedirs(_cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:  # noqa: BLE001 (read-only fs etc.)
+    pass
+
 __version__ = "0.1.0"

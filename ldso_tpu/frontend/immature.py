@@ -307,6 +307,18 @@ def trace(pool: ImmaturePool, dI_target: jax.Array, KRKi: jax.Array,
     )
 
 
+@functools.partial(jax.jit, static_argnames=("calib", "cfg"))
+def trace_pools(pools: ImmaturePool, dI_target: jax.Array, KRKis: jax.Array,
+                Kts: jax.Array, affs: jax.Array, calib: Calibration,
+                cfg: Config) -> ImmaturePool:
+    """Trace a STACK of immature pools (leading axis = host frame) against
+    one new frame in a single dispatch — the reference loops hosts
+    sequentially (traceNewCoarse, FullSystem.cc:1025-1049)."""
+    return jax.vmap(
+        lambda p, K, t, a: trace(p, dI_target, K, t, a, calib, cfg)
+    )(pools, KRKis, Kts, affs)
+
+
 # ---------------------------------------------------------------------------
 # activation (depth-only GN over all window frames)
 # ---------------------------------------------------------------------------

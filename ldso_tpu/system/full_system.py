@@ -389,24 +389,35 @@ class FullSystem:
 
     # ------------------------------------------------------------ keyframe ops
     def _trace_new_coarse(self, shell: FrameShell, pyr: FramePyramid):
-        """traceNewCoarse (:1012-1050): trace every immature pool against the
-        new frame."""
+        """traceNewCoarse (:1012-1050): ALL immature pools traced against the
+        new frame in one batched dispatch."""
         calib, cfg = self.calib, self.cfg
         K = calib.K(0)
         Ki = calib.Ki(0)
         T_new = shell.T_cw
-        for i, pool in enumerate(self.immature_pools):
-            if pool is None:
-                continue
+        live = [i for i, p in enumerate(self.immature_pools) if p is not None]
+        if not live:
+            return
+        KRKis, Kts, affs = [], [], []
+        for i in live:
             host = self.window_frames[i]
             T_rel = T_new @ np.linalg.inv(host.T_cw)
-            KRKi = jnp.asarray(K @ T_rel[:3, :3] @ Ki, jnp.float32)
-            Kt = jnp.asarray(K @ T_rel[:3, 3], jnp.float32)
-            aff = affine.from_to(host.exposure, shell.exposure,
-                                 jnp.asarray(host.aff, jnp.float32),
-                                 jnp.asarray(shell.aff, jnp.float32))
-            self.immature_pools[i] = immature.trace(
-                pool, pyr.dI[0], KRKi, Kt, aff, calib, cfg)
+            KRKis.append(K @ T_rel[:3, :3] @ Ki)
+            Kts.append(K @ T_rel[:3, 3])
+            # host->new brightness transfer (AffLight::fromToVecExposure)
+            ef_, et_ = host.exposure or 1.0, shell.exposure or 1.0
+            ra = np.exp(shell.aff[0] - host.aff[0]) * et_ / ef_
+            affs.append(np.array([ra, shell.aff[1] - ra * host.aff[1]]))
+        pools = [self.immature_pools[i] for i in live]
+        stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *pools)
+        out = immature.trace_pools(
+            stacked, pyr.dI[0],
+            jnp.asarray(np.stack(KRKis), jnp.float32),
+            jnp.asarray(np.stack(Kts), jnp.float32),
+            jnp.asarray(np.stack(affs), jnp.float32), calib, cfg)
+        for k, i in enumerate(live):
+            self.immature_pools[i] = jax.tree_util.tree_map(
+                lambda x: x[k], out)
 
     def _flag_frames_for_marginalization(self):
         """flagFramesForMarginalization (:647-723)."""
