@@ -789,9 +789,33 @@ class FullSystem:
         self.first_coarse_rmse = -1.0
 
     def _make_new_traces(self, shell: FrameShell, pyr: FramePyramid, idx: int):
-        """makeNewTraces (:1272-1324), DSO selection mode."""
+        """makeNewTraces (:1272-1324): candidate selection per
+        setting_pointSelection (0 = DSO gradient selector, 1 = LDSO
+        corner-aware detector, 2 = random)."""
         cfg = self.cfg
-        status, n = self.selector.make_maps(pyr, cfg.desired_immature_density)
+        H, W = self.calib.h[0], self.calib.w[0]
+        if cfg.point_selection == 1:
+            from ldso_tpu.frontend import detector
+            feats = detector.detect_corners(
+                pyr.dI[0], pyr.abs_grad[0], int(cfg.desired_immature_density),
+                max_feats=self._imm_cap)
+            valid = np.asarray(feats["valid"])
+            u = np.asarray(feats["u"])[valid].astype(int)
+            v = np.asarray(feats["v"])[valid].astype(int)
+            status = np.zeros((H, W), np.int32)
+            status[np.clip(v, 3, H - 4), np.clip(u, 3, W - 4)] = 1
+            status = jnp.asarray(status)
+        elif cfg.point_selection == 2:
+            rng = self.rng
+            status = np.zeros((H, W), np.int32)
+            n_want = int(cfg.desired_immature_density)
+            xs = rng.randint(20, W - 20, n_want)
+            ys = rng.randint(20, H - 20, n_want)
+            status[ys, xs] = 1
+            status = jnp.asarray(status)
+        else:
+            status, n = self.selector.make_maps(pyr,
+                                                cfg.desired_immature_density)
         self.immature_pools[idx] = immature.make_pool(
             status, pyr.dI[0], self._imm_cap, cfg)
 
@@ -817,6 +841,22 @@ class FullSystem:
         self.marg_flags.pop(i)
 
     # ------------------------------------------------------------------ output
+    def save_all(self, path: str):
+        """Map snapshot (FullSystem::saveAll, FullSystem.cc:1872-1893)."""
+        self.global_map.save(path)
+
+    def load_all(self, path: str):
+        """Reload a map snapshot (FullSystem::loadAll, :1895-1918)."""
+        from ldso_tpu.slam_map import GlobalMap
+        self.global_map = GlobalMap.load(path)
+        if self.loop_closing is not None:
+            self.loop_closing.global_map = self.global_map
+            # refill the retrieval database
+            if self.loop_closing.vocab is not None:
+                for kf in self.global_map.get_all_kfs():
+                    if kf.feat_desc is not None and len(kf.feat_desc):
+                        self.loop_closing._add_to_db(kf)
+
     def trajectory(self, keyframes_only: bool = False):
         """(timestamps, poses T_cw) of all (key)frames."""
         frames = [f for f in self.all_frames

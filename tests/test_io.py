@@ -154,3 +154,19 @@ class TestCLI:
 
 if __name__ == "__main__":
     pytest.main([__file__, "-q", "-x"])
+
+
+class TestViz:
+    def test_plot_trajectory(self, tmp_path):
+        from ldso_tpu import viz
+        from ldso_tpu.slam_map import FrameShell, GlobalMap, MapPointRecord
+        gm = GlobalMap()
+        for k in range(5):
+            T = np.eye(4)
+            T[0, 3] = -0.3 * k
+            kf = FrameShell(id=k, kf_id=k, T_cw=T)
+            kf.map_points.append(MapPointRecord(k, 0.1, 0.1, 0.4))
+            gm.add_keyframe(kf)
+        out = str(tmp_path / "traj.png")
+        viz.plot_trajectory(gm, out)
+        assert os.path.getsize(out) > 1000
