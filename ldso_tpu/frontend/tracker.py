@@ -433,6 +433,20 @@ def track_frame(ref: TrackerRef, pyr_new: FramePyramid, T_init, aff_init,
 
 
 @functools.partial(jax.jit, static_argnames=("calib", "cfg", "coarsest"))
+def track_frame_packed(ref: TrackerRef, pyr_new: FramePyramid, T_init,
+                       aff_init, new_exposure, min_res_abort,
+                       calib: Calibration, cfg: Config, coarsest: int):
+    """track_frame with all outputs packed into ONE flat array, so the host
+    pays a single device->host transfer per frame (the axon tunnel charges
+    per round-trip)."""
+    T, aff, ok, res, flow = track_frame(ref, pyr_new, T_init, aff_init,
+                                        new_exposure, min_res_abort,
+                                        calib, cfg, coarsest)
+    return jnp.concatenate([
+        T.reshape(-1), aff, ok.astype(jnp.float32)[None], res, flow])
+
+
+@functools.partial(jax.jit, static_argnames=("calib", "cfg", "coarsest"))
 def track_frame_hypotheses(ref: TrackerRef, pyr_new: FramePyramid,
                            T_inits, aff_init, new_exposure, min_res_abort,
                            calib: Calibration, cfg: Config, coarsest: int):

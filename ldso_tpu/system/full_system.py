@@ -325,13 +325,20 @@ class FullSystem:
         aff0 = jnp.asarray(aff_last, jnp.float32)
 
         best = None
-        # hypothesis 0 on its own (the common case: constant motion works)
+        # hypothesis 0 on its own (the common case: constant motion works);
+        # a single packed transfer brings back pose/aff/ok/res/flow
         T0 = jnp.asarray(tries[0], jnp.float32)
-        T, aff, ok, res, flow = tracker.track_frame(
+        nlv = calib.levels
+        packed = np.asarray(tracker.track_frame_packed(
             self.tracker_ref, pyr, T0, aff0, jnp.float32(shell.exposure),
-            min_abort, calib, cfg, coarsest)
-        res0 = float(res[0]) if np.isfinite(float(res[0])) else np.inf
-        if bool(ok) and np.isfinite(res0):
+            min_abort, calib, cfg, coarsest), np.float64)
+        T = packed[:16].reshape(4, 4)
+        aff = packed[16:18]
+        ok = packed[18] > 0.5
+        res = packed[19:19 + nlv]
+        flow = packed[19 + nlv:22 + nlv]
+        res0 = float(res[0]) if np.isfinite(res[0]) else np.inf
+        if ok and np.isfinite(res0):
             best = (T, aff, res, flow)
 
         achieved = np.asarray(res, np.float64) if best else np.full(calib.levels, np.nan)
@@ -375,9 +382,8 @@ class FullSystem:
         """Optical-flow + affine heuristic (FullSystem.cc:125-147)."""
         cfg, calib = self.cfg, self.calib
         ref = self.tracker_ref_shell
-        rel = affine.from_to(ref.exposure, shell.exposure,
-                             jnp.asarray(ref.aff), jnp.asarray(shell.aff))
-        rel_a = float(rel[0])
+        ef_, et_ = ref.exposure or 1.0, shell.exposure or 1.0
+        rel_a = float(np.exp(shell.aff[0] - ref.aff[0]) * et_ / ef_)
         wh = calib.w[0] + calib.h[0]
         f = self._last_flow
         b = (cfg.kf_global_weight * cfg.max_shift_weight_t * np.sqrt(max(f[0], 0)) / wh
