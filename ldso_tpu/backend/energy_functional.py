@@ -79,8 +79,95 @@ def _finalize_linearization(W: Window) -> Window:
     return W
 
 
+import functools as _functools
+
+
+@jax.jit
+def _insert_frame_dev(W: Window, i, T_cw, st, prior, exposure, inherit_th):
+    """All frame-insertion mutations in one dispatch."""
+    th = jnp.where(inherit_th & (i > 0),
+                   W.frame_energy_th[jnp.maximum(i - 1, 0)], 12.0 * 12.0 * 8.0)
+    return W._replace(
+        frame_valid=W.frame_valid.at[i].set(True),
+        T_eval=W.T_eval.at[i].set(T_cw),
+        state=W.state.at[i].set(st),
+        state_zero=W.state_zero.at[i].set(st),
+        exposure=W.exposure.at[i].set(exposure),
+        prior=W.prior.at[i].set(prior),
+        frame_energy_th=W.frame_energy_th.at[i].set(th),
+    )
+
+
+@jax.jit
+def _insert_points_dev(W: Window, sl, valid, host, u, v, color, weights,
+                       idepth, prior, energy_th):
+    """All point-insertion mutations in one dispatch. `sl` slots of invalid
+    (padding) entries are set to P (out of range) and dropped by scatter."""
+    P = W.P
+    sl = jnp.where(valid, sl, P)  # out-of-range -> dropped
+    m = "drop"
+    F = W.F
+    res_exist_rows = (W.frame_valid[None, :]
+                      & (host[:, None] != jnp.arange(F)[None, :]))
+    return W._replace(
+        pt_valid=W.pt_valid.at[sl].set(True, mode=m),
+        pt_host=W.pt_host.at[sl].set(host, mode=m),
+        pt_u=W.pt_u.at[sl].set(u, mode=m),
+        pt_v=W.pt_v.at[sl].set(v, mode=m),
+        pt_color=W.pt_color.at[sl].set(color, mode=m),
+        pt_weights=W.pt_weights.at[sl].set(weights, mode=m),
+        idepth=W.idepth.at[sl].set(idepth, mode=m),
+        idepth_zero=W.idepth_zero.at[sl].set(idepth, mode=m),
+        pt_prior=W.pt_prior.at[sl].set(prior, mode=m),
+        pt_energy_th=W.pt_energy_th.at[sl].set(energy_th, mode=m),
+        pt_num_good_res=W.pt_num_good_res.at[sl].set(0, mode=m),
+        pt_max_rel_baseline=W.pt_max_rel_baseline.at[sl].set(0.0, mode=m),
+        pt_idepth_hessian=W.pt_idepth_hessian.at[sl].set(0.0, mode=m),
+        res_exist=W.res_exist.at[sl].set(res_exist_rows, mode=m),
+        res_active=W.res_active.at[sl].set(False, mode=m),
+        res_linearized=W.res_linearized.at[sl].set(False, mode=m),
+        res_state=W.res_state.at[sl].set(RES_IN, mode=m),
+        res_energy=W.res_energy.at[sl].set(0.0, mode=m),
+    )
+
+
+@jax.jit
+def _add_residuals_dev(W: Window, frame_idx):
+    mask = W.pt_valid & (W.pt_host != frame_idx)
+    return W._replace(
+        res_exist=W.res_exist.at[:, frame_idx].set(mask),
+        res_active=W.res_active.at[:, frame_idx].set(False),
+        res_linearized=W.res_linearized.at[:, frame_idx].set(False),
+        res_state=W.res_state.at[:, frame_idx].set(
+            jnp.where(mask, RES_IN, W.res_state[:, frame_idx])),
+        res_energy=W.res_energy.at[:, frame_idx].set(0.0),
+    )
+
+
+@jax.jit
+def _drop_points_dev(W: Window, pt_mask):
+    return W._replace(
+        pt_valid=W.pt_valid & ~pt_mask,
+        res_exist=W.res_exist & ~pt_mask[:, None],
+        res_active=W.res_active & ~pt_mask[:, None],
+    )
+
+
+@jax.jit
+def _boost_prior_dev(W: Window, pt_mask, fac):
+    return W._replace(pt_prior=jnp.where(pt_mask, W.pt_prior * fac, W.pt_prior))
+
+
+def _round_up_pow2(n: int, lo: int = 64) -> int:
+    import math
+    return max(lo, 1 << int(math.ceil(math.log2(max(n, 1)))))
+
+
 class EnergyFunctional:
-    """Owns the Window plus the host-side marginalization prior."""
+    """Owns the Window plus the host-side marginalization prior.
+
+    Host mirrors of pt_valid / pt_host avoid device pulls on the control
+    path (every pull is a full round-trip behind the remote-TPU tunnel)."""
 
     def __init__(self, cfg: Config, calib, F: Optional[int] = None,
                  P: Optional[int] = None):
@@ -95,6 +182,8 @@ class EnergyFunctional:
         self.res_in_a = 0
         self.res_in_m = 0
         self.is_lost = False
+        self.pt_valid_np = np.zeros(self.P, bool)
+        self.pt_host_np = np.zeros(self.P, np.int32)
 
     # ------------------------------------------------------------------ frames
     def insert_frame(self, T_cw: np.ndarray, exposure: float,
@@ -119,15 +208,10 @@ class EnergyFunctional:
             prior[7] = (self.cfg.initial_aff_b_prior
                         if self.cfg.affine_opt_mode_b < 0 else self.cfg.affine_opt_mode_b)
 
-        self.W = W._replace(
-            frame_valid=W.frame_valid.at[i].set(True),
-            T_eval=W.T_eval.at[i].set(jnp.asarray(T_cw, jnp.float32)),
-            state=W.state.at[i].set(jnp.asarray(st)),
-            state_zero=W.state_zero.at[i].set(jnp.asarray(st)),
-            exposure=W.exposure.at[i].set(float(exposure)),
-            prior=W.prior.at[i].set(jnp.asarray(prior)),
-            frame_energy_th=W.frame_energy_th.at[i].set(12.0 * 12.0 * 8.0),
-        )
+        self.W = _insert_frame_dev(
+            W, jnp.int32(i), jnp.asarray(T_cw, jnp.float32), jnp.asarray(st),
+            jnp.asarray(prior), jnp.float32(exposure),
+            jnp.asarray(not is_first))
         self.n_frames += 1
         # grow HM/bM with zeros for the new frame block
         n_old = self.HM.shape[0]
@@ -178,92 +262,67 @@ class EnergyFunctional:
         # compact device frame slots: move idx..end left by one
         self.W = _shift_frame_out(self.W, idx)
         self.n_frames -= 1
+        self.pt_host_np = np.where(self.pt_host_np > idx,
+                                   self.pt_host_np - 1, self.pt_host_np)
 
     # ------------------------------------------------------------------ points
     def marginalize_points(self, pt_mask: jax.Array, dIs: jax.Array):
         """flagged points: boost prior, relinearize+fix, mode-2 accumulate
         into HM/bM, then remove (marginalizePointsF, :165-222)."""
-        W = self.W
-        any_pts = bool(jnp.any(pt_mask))
-        if not any_pts:
+        mask_np = np.asarray(pt_mask)
+        if not mask_np.any():
             return
-        W = W._replace(pt_prior=jnp.where(
-            pt_mask, W.pt_prior * self.cfg.idepth_fix_prior_marg_fac, W.pt_prior))
+        W = _boost_prior_dev(self.W, pt_mask,
+                             jnp.float32(self.cfg.idepth_fix_prior_marg_fac))
         H, b, nres = ba.accumulate_marg(W, pt_mask)
         n = CPARS + 8 * self.n_frames
-        Hn = np.asarray(H, np.float64)[:n, :n]
-        bn = np.asarray(b, np.float64)[:n]
-        self.HM += self.cfg.marg_weight_fac * Hn
-        self.bM += self.cfg.marg_weight_fac * bn
+        Hb = np.asarray(jnp.concatenate([H, b[None, :]], axis=0), np.float64)
+        self.HM += self.cfg.marg_weight_fac * Hb[:-1][:n, :n]
+        self.bM += self.cfg.marg_weight_fac * Hb[-1][:n]
         self.res_in_m += int(nres)
         # remove the points
-        self.W = W._replace(
-            pt_valid=W.pt_valid & ~pt_mask,
-            res_exist=W.res_exist & ~pt_mask[:, None],
-            res_active=W.res_active & ~pt_mask[:, None],
-        )
+        self.W = _drop_points_dev(W, pt_mask)
+        self.pt_valid_np &= ~mask_np
 
     def insert_points(self, host_idx, u, v, color, weights, idepth,
                       energy_th, has_depth_prior=False) -> np.ndarray:
         """Place new active points into free slots; create residual slots to
         every other valid frame. Returns the slot indices used.
         host_idx may be a scalar or per-point array."""
-        W = self.W
-        free = np.nonzero(~np.asarray(W.pt_valid))[0]
+        free = np.nonzero(~self.pt_valid_np)[0]
         k = min(len(free), len(u))
-        sl = jnp.asarray(free[:k].astype(np.int32))
         host = np.broadcast_to(np.asarray(host_idx, np.int32), (len(u),))[:k]
-        hostj = jnp.asarray(host)
         prior = (self.cfg.idepth_fix_prior if has_depth_prior else 0.0)
 
-        res_exist_rows = (jnp.asarray(np.asarray(W.frame_valid))[None, :]
-                          & (hostj[:, None] != jnp.arange(self.F)[None, :]))
-        W = W._replace(
-            pt_valid=W.pt_valid.at[sl].set(True),
-            pt_host=W.pt_host.at[sl].set(hostj),
-            pt_u=W.pt_u.at[sl].set(jnp.asarray(u[:k], jnp.float32)),
-            pt_v=W.pt_v.at[sl].set(jnp.asarray(v[:k], jnp.float32)),
-            pt_color=W.pt_color.at[sl].set(jnp.asarray(color[:k], jnp.float32)),
-            pt_weights=W.pt_weights.at[sl].set(jnp.asarray(weights[:k], jnp.float32)),
-            idepth=W.idepth.at[sl].set(jnp.asarray(idepth[:k], jnp.float32)),
-            idepth_zero=W.idepth_zero.at[sl].set(jnp.asarray(idepth[:k], jnp.float32)),
-            pt_prior=W.pt_prior.at[sl].set(prior),
-            pt_energy_th=W.pt_energy_th.at[sl].set(
-                jnp.asarray(energy_th[:k], jnp.float32)),
-            pt_num_good_res=W.pt_num_good_res.at[sl].set(0),
-            pt_max_rel_baseline=W.pt_max_rel_baseline.at[sl].set(0.0),
-            pt_idepth_hessian=W.pt_idepth_hessian.at[sl].set(0.0),
-            res_exist=W.res_exist.at[sl].set(res_exist_rows),
-            res_active=W.res_active.at[sl].set(False),
-            res_linearized=W.res_linearized.at[sl].set(False),
-            res_state=W.res_state.at[sl].set(RES_IN),
-            res_energy=W.res_energy.at[sl].set(0.0),
-        )
-        self.W = W
+        # pad to a pow-2 bucket so the jitted inserter compiles O(log) times
+        kb = _round_up_pow2(k)
+
+        def padf(a, dtype=np.float32):
+            a = np.asarray(a[:k], dtype)
+            pad_shape = (kb - k,) + a.shape[1:]
+            return jnp.asarray(np.concatenate(
+                [a, np.zeros(pad_shape, dtype)], axis=0))
+
+        sl = np.full(kb, self.P, np.int32)
+        sl[:k] = free[:k]
+        valid = np.arange(kb) < k
+        self.W = _insert_points_dev(
+            self.W, jnp.asarray(sl), jnp.asarray(valid),
+            padf(host, np.int32), padf(u), padf(v), padf(color),
+            padf(weights), padf(idepth),
+            jnp.full(kb, prior, jnp.float32), padf(energy_th))
+        self.pt_valid_np[free[:k]] = True
+        self.pt_host_np[free[:k]] = host
         return free[:k]
 
     def add_residuals_to_frame(self, frame_idx: int):
         """Create residual slots from every active point to a (new) frame
         (FullSystem::makeKeyFrame :443-469)."""
-        W = self.W
-        mask = W.pt_valid & (W.pt_host != frame_idx)
-        W = W._replace(
-            res_exist=W.res_exist.at[:, frame_idx].set(mask),
-            res_active=W.res_active.at[:, frame_idx].set(False),
-            res_linearized=W.res_linearized.at[:, frame_idx].set(False),
-            res_state=W.res_state.at[:, frame_idx].set(
-                jnp.where(mask, RES_IN, W.res_state[:, frame_idx])),
-            res_energy=W.res_energy.at[:, frame_idx].set(0.0),
-        )
-        self.W = W
+        self.W = _add_residuals_dev(self.W, jnp.int32(frame_idx))
 
     def drop_points(self, pt_mask: jax.Array):
-        W = self.W
-        self.W = W._replace(
-            pt_valid=W.pt_valid & ~pt_mask,
-            res_exist=W.res_exist & ~pt_mask[:, None],
-            res_active=W.res_active & ~pt_mask[:, None],
-        )
+        self.W = _drop_points_dev(self.W, pt_mask)
+        self.pt_valid_np &= ~np.asarray(pt_mask)
 
     # ------------------------------------------------------------------ solving
     def _nullspaces(self) -> np.ndarray:

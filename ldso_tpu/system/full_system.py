@@ -41,6 +41,29 @@ from ldso_tpu.ops.preprocess import FramePyramid, make_pyramid
 from ldso_tpu.slam_map import FrameShell, GlobalMap, MapPointRecord
 
 
+@jax.jit
+def _set_dI(dIs, slot, dI0):
+    return dIs.at[slot].set(dI0)
+
+
+@jax.jit
+def _shift_dI(dIs, perm):
+    return jnp.take(dIs, perm, axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "w1", "h1"))
+def _gate_candidates_stack(pools, KRKis, Kts, dist_map, min_act_dist,
+                           marg_flags, cfg: Config, w1: int, h1: int):
+    """vmapped _gate_candidates over all frame slots; outputs packed into
+    one (F, cap, 3) float array for a single host pull."""
+    to_opt, remove, idm = jax.vmap(
+        lambda p, K, t, mf: _gate_candidates(p, K, t, dist_map, min_act_dist,
+                                             mf, cfg, w1, h1)
+    )(pools, KRKis, Kts, marg_flags)
+    return jnp.stack([to_opt.astype(jnp.float32),
+                      remove.astype(jnp.float32), idm], axis=-1)
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "w1", "h1"))
 def _gate_candidates(pool, KRKi, Kt, dist_map, min_act_dist, marg_flag,
                      cfg: Config, w1: int, h1: int):
@@ -78,6 +101,33 @@ def _gate_candidates(pool, KRKi, Kt, dist_map, min_act_dist, marg_flag,
 
 
 @jax.jit
+def _tracker_ref_inputs(W, newest):
+    """Pack the tracker-template inputs (one dispatch):
+    (u, v, idepth, weight, valid) of points with an IN residual toward the
+    newest KF (setCoarseTrackingRef, CoarseTracker.cc:240-283)."""
+    cp = W.center_proj[:, newest]
+    valid = (W.pt_valid & W.res_exist[:, newest]
+             & (W.res_state[:, newest] == RES_IN))
+    hdif = 1.0 / jnp.maximum(W.pt_idepth_hessian, 1e-12)
+    weight = jnp.sqrt(1e-3 / (hdif + 1e-12))
+    return cp[:, 0], cp[:, 1], cp[:, 2], weight, valid
+
+
+@jax.jit
+def _occupancy_inputs(W, newest):
+    """center projections + validity for the activation distance map."""
+    cp = W.center_proj[:, newest]
+    ok = (W.pt_valid & W.res_exist[:, newest]
+          & jnp.isfinite(cp[:, 0]) & (cp[:, 2] > 0))
+    return jnp.concatenate([cp, ok[:, None].astype(jnp.float32)], axis=1)
+
+
+@jax.jit
+def _marg_record_inputs(W):
+    return jnp.stack([W.pt_u, W.pt_v, W.idepth], axis=1)
+
+
+@jax.jit
 def _flag_removal_device(W, marg_frame_targets, host_flagged, newest, prev):
     """flagPointsForRemoval decision logic on device (FullSystem.cc:1208-1270).
     Returns (drop, marg_cand) bool masks."""
@@ -106,13 +156,15 @@ def _flag_removal_device(W, marg_frame_targets, host_flagged, newest, prev):
 
 
 def _motion_hypotheses(lastF_2_slast, fh_2_slast):
-    """The reference's ~27 retry initializations (FullSystem.cc:189-311)."""
+    """The reference's ~27 retry initializations (FullSystem.cc:189-311).
+    Pure host numpy — no device traffic on the per-frame path."""
+    from ldso_tpu.math import lie_np
     tries = []
     inv = np.linalg.inv
     const = inv(fh_2_slast) @ lastF_2_slast
     tries.append(const)
     tries.append(inv(fh_2_slast) @ inv(fh_2_slast) @ lastF_2_slast)
-    half = np.asarray(lie.se3_exp(0.5 * lie.se3_log(jnp.asarray(fh_2_slast))))
+    half = lie_np.se3_exp(0.5 * lie_np.se3_log(fh_2_slast))
     tries.append(inv(half) @ lastF_2_slast)
     tries.append(lastF_2_slast)
     tries.append(np.eye(4))
@@ -125,11 +177,9 @@ def _motion_hypotheses(lastF_2_slast, fh_2_slast):
                      (-1, -1, 0), (0, -1, -1), (-1, 0, -1),
                      (-1, -1, -1), (-1, -1, 1), (-1, 1, -1), (-1, 1, 1),
                      (1, -1, -1), (1, -1, 1), (1, 1, -1), (1, 1, 1)):
-            q = np.array([1.0, rot_delta * axes[0], rot_delta * axes[1],
-                          rot_delta * axes[2]])
-            q /= np.linalg.norm(q)
-            R = np.asarray(lie.quat_to_rotmat(
-                jnp.asarray([q[1], q[2], q[3], q[0]])))
+            q = np.array([rot_delta * axes[0], rot_delta * axes[1],
+                          rot_delta * axes[2], 1.0])
+            R = lie_np.quat_to_rotmat(q)
             P = np.eye(4)
             P[:3, :3] = R
             tries.append(const @ P)
@@ -163,8 +213,16 @@ class FullSystem:
         # window bookkeeping parallel to EF frame slots
         self.window_frames: List[FrameShell] = []
         self.window_pyrs: List[FramePyramid] = []
-        self.immature_pools: List[Optional[immature.ImmaturePool]] = []
         self.marg_flags: List[bool] = []
+        # immature candidates: ONE device stack over frame slots (no
+        # per-frame re-stacking dispatches behind the TPU tunnel)
+        self._imm_cap = cfg.max_immature
+        self.imm_stack = immature.empty_pool_stack(
+            self.ef.F, self._imm_cap, cfg)
+        self.imm_live: List[bool] = []
+        # persistent (F, H, W, 3) level-0 gradient-image buffer on device
+        self.dIs = jnp.zeros((self.ef.F, calib.h[0], calib.w[0], 3),
+                             jnp.float32)
 
         self.tracker_ref: Optional[tracker.TrackerRef] = None
         self.tracker_ref_shell: Optional[FrameShell] = None
@@ -172,16 +230,10 @@ class FullSystem:
         self.first_coarse_rmse = -1.0
         self.current_min_act_dist = 2.0
         self.rng = np.random.RandomState(cfg.seed)
-        self._imm_cap = cfg.max_immature
 
     # ------------------------------------------------------------------ utils
     def _dIs_stack(self):
-        F = self.ef.F
-        H, W = self.calib.h[0], self.calib.w[0]
-        mats = [p.dI[0] for p in self.window_pyrs]
-        while len(mats) < F:
-            mats.append(jnp.zeros((H, W, 3), jnp.float32))
-        return jnp.stack(mats)
+        return self.dIs
 
     def _window_poses(self):
         return np.asarray(current_poses(self.ef.W), np.float64)
@@ -261,8 +313,9 @@ class FullSystem:
         self.ef.insert_frame(first.T_cw, first.exposure, first.aff, is_first=True)
         self.window_frames.append(first)
         self.window_pyrs.append(self.first_pyr)
-        self.immature_pools.append(None)
+        self.imm_live.append(False)
         self.marg_flags.append(False)
+        self.dIs = _set_dI(self.dIs, 0, self.first_pyr.dI[0])
         self.global_map.add_keyframe(first)
 
         # sub-select ~desired density of init points, activate immediately
@@ -398,47 +451,43 @@ class FullSystem:
         """traceNewCoarse (:1012-1050): ALL immature pools traced against the
         new frame in one batched dispatch."""
         calib, cfg = self.calib, self.cfg
+        if not any(self.imm_live):
+            return
         K = calib.K(0)
         Ki = calib.Ki(0)
         T_new = shell.T_cw
-        live = [i for i, p in enumerate(self.immature_pools) if p is not None]
-        if not live:
-            return
-        KRKis, Kts, affs = [], [], []
-        for i in live:
-            host = self.window_frames[i]
+        F = self.ef.F
+        KRKis = np.tile(np.eye(3), (F, 1, 1))
+        Kts = np.zeros((F, 3))
+        affs = np.tile(np.array([1.0, 0.0]), (F, 1))
+        for i, host in enumerate(self.window_frames):
             T_rel = T_new @ np.linalg.inv(host.T_cw)
-            KRKis.append(K @ T_rel[:3, :3] @ Ki)
-            Kts.append(K @ T_rel[:3, 3])
+            KRKis[i] = K @ T_rel[:3, :3] @ Ki
+            Kts[i] = K @ T_rel[:3, 3]
             # host->new brightness transfer (AffLight::fromToVecExposure)
             ef_, et_ = host.exposure or 1.0, shell.exposure or 1.0
             ra = np.exp(shell.aff[0] - host.aff[0]) * et_ / ef_
-            affs.append(np.array([ra, shell.aff[1] - ra * host.aff[1]]))
-        pools = [self.immature_pools[i] for i in live]
-        stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *pools)
-        out = immature.trace_pools(
-            stacked, pyr.dI[0],
-            jnp.asarray(np.stack(KRKis), jnp.float32),
-            jnp.asarray(np.stack(Kts), jnp.float32),
-            jnp.asarray(np.stack(affs), jnp.float32), calib, cfg)
-        for k, i in enumerate(live):
-            self.immature_pools[i] = jax.tree_util.tree_map(
-                lambda x: x[k], out)
+            affs[i] = (ra, shell.aff[1] - ra * host.aff[1])
+        self.imm_stack = immature.trace_pools(
+            self.imm_stack, pyr.dI[0],
+            jnp.asarray(KRKis, jnp.float32), jnp.asarray(Kts, jnp.float32),
+            jnp.asarray(affs, jnp.float32), calib, cfg)
 
     def _flag_frames_for_marginalization(self):
         """flagFramesForMarginalization (:647-723)."""
         cfg = self.cfg
         nf = len(self.window_frames)
-        W = self.ef.W
-        pt_host = np.asarray(W.pt_host)
-        pt_valid = np.asarray(W.pt_valid)
+        pt_host = self.ef.pt_host_np
+        pt_valid = self.ef.pt_valid_np
         flags = [False] * nf
+
+        # immature counts: one pull for all pools
+        imm_counts = np.asarray(immature.pool_counts(self.imm_stack))
 
         newest = self.window_frames[-1]
         flagged = 0
         for i, fr in enumerate(self.window_frames):
-            n_imm = int(self.immature_pools[i].valid.sum()) \
-                if self.immature_pools[i] is not None else 0
+            n_imm = int(imm_counts[i]) if self.imm_live[i] else 0
             n_act = int((pt_valid & (pt_host == i)).sum())
             n_in = n_imm + n_act
             n_out = getattr(fr, "_n_dead_points", 0)
@@ -479,7 +528,7 @@ class FullSystem:
         spacing)."""
         cfg, calib = self.cfg, self.calib
         W = self.ef.W
-        n_points = int(W.pt_valid.sum())
+        n_points = int(self.ef.pt_valid_np.sum())
         d = cfg.desired_point_density
         delta = 0.0
         if n_points < d * 0.66:
@@ -508,92 +557,93 @@ class FullSystem:
         Ki0 = calib.Ki(0)
         T = self._window_poses()
 
-        # occupancy of currently active points projected into the newest KF
-        pt_valid = np.asarray(W.pt_valid)
-        pt_host = np.asarray(W.pt_host)
-        pu = np.asarray(W.pt_u)
-        pv = np.asarray(W.pt_v)
-        pid = np.asarray(W.idepth)
+        # occupancy of currently active points projected into the newest KF:
+        # the BA already computed centerProjectedTo toward it (one pull)
+        cp = np.asarray(_occupancy_inputs(W, jnp.int32(newest_i)))
+        ok = cp[:, 3] > 0.5
+        # level-0 -> level-1 pixel coords (GlobalCalib halving convention)
+        uu = (0.5 * cp[ok, 0] - 0.25 + 0.5).astype(int)
+        vv = (0.5 * cp[ok, 1] - 0.25 + 0.5).astype(int)
+        inb = (uu > 0) & (vv > 0) & (uu < w1) & (vv < h1)
         occ = np.zeros((h1, w1), bool)
-        for i in range(nf):
-            if i == newest_i:
-                continue
-            m = pt_valid & (pt_host == i)
-            if not m.any():
-                continue
-            T_rel = T[newest_i] @ np.linalg.inv(T[i])
-            KRKi = K1 @ T_rel[:3, :3] @ Ki0
-            Kt = K1 @ T_rel[:3, 3]
-            p = KRKi @ np.stack([pu[m], pv[m], np.ones(m.sum())]) + Kt[:, None] * pid[m]
-            uu = (p[0] / p[2] + 0.5).astype(int)
-            vv = (p[1] / p[2] + 0.5).astype(int)
-            ok = (uu > 0) & (vv > 0) & (uu < w1) & (vv < h1)
-            occ[vv[ok], uu[ok]] = True
+        occ[vv[inb], uu[inb]] = True
         dist_map = distance_transform(jnp.asarray(occ))
-        dist_np = np.asarray(dist_map)
 
-        # candidate gathering per host pool (gating on device, one pull)
+        # gate all slots in one dispatch + one pull
+        F = self.ef.F
+        KRKis = np.tile(np.eye(3), (F, 1, 1))
+        Kts = np.zeros((F, 3))
         for i in range(nf):
-            pool = self.immature_pools[i]
-            if pool is None or i == newest_i:
-                continue
             T_rel = T[newest_i] @ np.linalg.inv(T[i])
-            KRKi = K1 @ T_rel[:3, :3] @ Ki0
-            Kt = K1 @ T_rel[:3, 3]
-            to_opt_d, remove_d, idm_d = _gate_candidates(
-                pool, jnp.asarray(KRKi, jnp.float32),
-                jnp.asarray(Kt, jnp.float32), dist_map,
-                jnp.float32(self.current_min_act_dist),
-                jnp.asarray(self.marg_flags[i]), cfg, w1, h1)
-            to_opt = np.asarray(to_opt_d)
-            remove = np.asarray(remove_d)
-            idm = np.asarray(idm_d)
+            KRKis[i] = K1 @ T_rel[:3, :3] @ Ki0
+            Kts[i] = K1 @ T_rel[:3, 3]
+        marg_flags = np.asarray(self.marg_flags + [True] * (F - nf))
+        gate = np.asarray(_gate_candidates_stack(
+            self.imm_stack, jnp.asarray(KRKis, jnp.float32),
+            jnp.asarray(Kts, jnp.float32), dist_map,
+            jnp.float32(self.current_min_act_dist),
+            jnp.asarray(marg_flags), cfg, w1, h1))
+        to_opt = gate[..., 0] > 0.5                 # (F, cap)
+        remove = gate[..., 1] > 0.5
+        idm = gate[..., 2]
+        # the newest frame hosts no candidates yet; be safe anyway
+        to_opt[newest_i] = False
+        for i in range(nf):
+            if not self.imm_live[i]:
+                to_opt[i] = False
+                remove[i] = False
+        for i in range(nf, F):
+            to_opt[i] = False
+            remove[i] = False
 
-            if to_opt.any():
-                # batched depth-only activation against all window frames
-                Rs, ts, affs, masks = [], [], [], []
-                for j in range(self.ef.F):
-                    if j < nf and j != i:
-                        T_ht = T[j] @ np.linalg.inv(T[i])
-                        Rs.append(T_ht[:3, :3])
-                        ts.append(T_ht[:3, 3])
-                        a = affine.from_to(
-                            self.window_frames[i].exposure,
-                            self.window_frames[j].exposure,
-                            jnp.asarray(self.window_frames[i].aff, jnp.float32),
-                            jnp.asarray(self.window_frames[j].aff, jnp.float32))
-                        affs.append(np.asarray(a))
-                        masks.append(True)
-                    else:
-                        Rs.append(np.eye(3))
-                        ts.append(np.zeros(3))
-                        affs.append(np.array([1.0, 0.0]))
-                        masks.append(False)
-                idep0 = jnp.asarray(idm, jnp.float32)
-                new_id, ok, n_good, res_st = immature.activate(
-                    pool.u, pool.v, pool.color, pool.weights, pool.energy_th,
-                    idep0, jnp.asarray(to_opt),
-                    jnp.asarray(np.stack(Rs), jnp.float32),
-                    jnp.asarray(np.stack(ts), jnp.float32),
-                    jnp.asarray(np.stack(affs), jnp.float32),
-                    jnp.asarray(masks), self._dIs_stack(), calib, cfg)
-                okn = np.asarray(ok) & to_opt & (np.asarray(n_good) >= 1)
-                if okn.any():
+        if to_opt.any():
+            # batched activation: every (host, candidate) in one dispatch
+            Rs = np.tile(np.eye(3), (F, F, 1, 1))
+            ts = np.zeros((F, F, 3))
+            affs_a = np.tile(np.array([1.0, 0.0]), (F, F, 1))
+            masks = np.zeros((F, F), bool)
+            for i in range(nf):
+                fi = self.window_frames[i]
+                for j in range(nf):
+                    if j == i:
+                        continue
+                    T_ht = T[j] @ np.linalg.inv(T[i])
+                    Rs[i, j] = T_ht[:3, :3]
+                    ts[i, j] = T_ht[:3, 3]
+                    fj = self.window_frames[j]
+                    ef_, et_ = fi.exposure or 1.0, fj.exposure or 1.0
+                    ra = np.exp(fj.aff[0] - fi.aff[0]) * et_ / ef_
+                    affs_a[i, j] = (ra, fj.aff[1] - ra * fi.aff[1])
+                    masks[i, j] = True
+            act = np.asarray(immature.activate_pools(
+                self.imm_stack, jnp.asarray(idm, jnp.float32),
+                jnp.asarray(to_opt),
+                jnp.asarray(Rs, jnp.float32), jnp.asarray(ts, jnp.float32),
+                jnp.asarray(affs_a, jnp.float32), jnp.asarray(masks),
+                self._dIs_stack(), calib, cfg))
+            new_id = act[..., 0]
+            okn = (act[..., 1] > 0.5) & to_opt & (act[..., 2] >= 1)
+            if okn.any():
+                data = np.asarray(immature.pool_insert_data(self.imm_stack))
+                for i in range(nf):
+                    sel = okn[i]
+                    if not sel.any():
+                        continue
                     self.ef.insert_points(
-                        i,
-                        u=np.asarray(pool.u)[okn], v=np.asarray(pool.v)[okn],
-                        color=np.asarray(pool.color)[okn],
-                        weights=np.asarray(pool.weights)[okn],
-                        idepth=np.asarray(new_id)[okn],
-                        energy_th=np.asarray(pool.energy_th)[okn])
-                # activated or failed-to-optimize candidates leave the pool
-                remove = remove | to_opt
+                        i, u=data[i, sel, 0], v=data[i, sel, 1],
+                        color=data[i, sel, 3:11], weights=data[i, sel, 11:19],
+                        idepth=new_id[i, sel], energy_th=data[i, sel, 2])
+            # activated or failed-to-optimize candidates leave the pool
+            remove = remove | to_opt
 
-            if remove.any():
-                self.immature_pools[i] = pool._replace(
-                    valid=pool.valid & ~jnp.asarray(remove))
-                fr = self.window_frames[i]
-                fr._n_dead_points = getattr(fr, "_n_dead_points", 0) + int(remove.sum())
+        if remove.any():
+            self.imm_stack = immature.mask_pool_all(
+                self.imm_stack, jnp.asarray(remove))
+            for i in range(nf):
+                n_rm = int(remove[i].sum())
+                if n_rm and self.imm_live[i]:
+                    fr = self.window_frames[i]
+                    fr._n_dead_points = getattr(fr, "_n_dead_points", 0) + n_rm
 
     def _flag_points_for_removal(self):
         """flagPointsForRemoval (:1208-1270). Returns (drop_mask, marg_mask);
@@ -621,13 +671,11 @@ class FullSystem:
                                    is_first=False)
         self.window_frames.append(shell)
         self.window_pyrs.append(pyr)
-        self.immature_pools.append(None)
+        self.imm_live.append(False)
         self.marg_flags.append(False)
-        # inherit the previous newest frame's energy threshold (:476)
-        W = self.ef.W
-        if idx > 0:
-            self.ef.W = W._replace(frame_energy_th=W.frame_energy_th.at[idx].set(
-                W.frame_energy_th[idx - 1]))
+        self.dIs = _set_dI(self.dIs, jnp.int32(idx), pyr.dI[0])
+        # (the new frame inherits the previous newest's energy threshold
+        #  inside _insert_frame_dev; FullSystem.cc:476)
 
         self.ef.add_residuals_to_frame(idx)
         self._activate_points(shell, pyr)
@@ -739,14 +787,14 @@ class FullSystem:
     def _remove_outliers(self):
         """Points with no remaining residuals -> dropped (:1402-1420)."""
         W = self.ef.W
-        nres = np.asarray(W.res_exist).sum(axis=1)
-        bad = np.asarray(W.pt_valid) & (nres == 0)
+        nres = np.asarray(jnp.sum(W.res_exist, axis=1))
+        bad = self.ef.pt_valid_np & (nres == 0)
         if bad.any():
             self._count_dead(bad)
             self.ef.drop_points(jnp.asarray(bad))
 
     def _count_dead(self, mask: np.ndarray):
-        hosts = np.asarray(self.ef.W.pt_host)[mask]
+        hosts = self.ef.pt_host_np[mask]
         for h in hosts:
             if h < len(self.window_frames):
                 fr = self.window_frames[h]
@@ -756,10 +804,9 @@ class FullSystem:
         """Retire points into their host keyframe shells (world map)."""
         W = self.ef.W
         calib = self.calib
-        hosts = np.asarray(W.pt_host)
-        u = np.asarray(W.pt_u)
-        v = np.asarray(W.pt_v)
-        idep = np.asarray(W.idepth)
+        hosts = self.ef.pt_host_np
+        rec = np.asarray(_marg_record_inputs(W))
+        u, v, idep = rec[:, 0], rec[:, 1], rec[:, 2]
         fx, fy = calib.fx[0], calib.fy[0]
         cx, cy = calib.cx[0], calib.cy[0]
         for p in np.nonzero(mask)[0]:
@@ -779,14 +826,10 @@ class FullSystem:
         W = self.ef.W
         nf = len(self.window_frames)
         newest = nf - 1
-        cp = W.center_proj[:, newest]
-        valid = (W.pt_valid & W.res_exist[:, newest]
-                 & (W.res_state[:, newest] == RES_IN))
-        weight = jnp.sqrt(1e-3 / (1.0 / jnp.maximum(W.pt_idepth_hessian, 1e-12)
-                                  + 1e-12))
+        u, v, idep, weight, valid = _tracker_ref_inputs(W, jnp.int32(newest))
         newest_shell = self.window_frames[newest]
         self.tracker_ref = tracker.make_tracker_ref(
-            cp[:, 0], cp[:, 1], cp[:, 2], weight, valid,
+            u, v, idep, weight, valid,
             self.window_pyrs[newest].dI,
             jnp.float32(newest_shell.exposure),
             jnp.asarray(newest_shell.aff, jnp.float32),
@@ -822,8 +865,10 @@ class FullSystem:
         else:
             status, n = self.selector.make_maps(pyr,
                                                 cfg.desired_immature_density)
-        self.immature_pools[idx] = immature.make_pool(
-            status, pyr.dI[0], self._imm_cap, cfg)
+        pool = immature.make_pool(status, pyr.dI[0], self._imm_cap, cfg)
+        self.imm_stack = immature.set_pool_slot(self.imm_stack,
+                                                jnp.int32(idx), pool)
+        self.imm_live[idx] = True
 
     def _marginalize_frame_full(self, i: int):
         """marginalizeFrame (:602-645): drop residuals targeting the frame,
@@ -843,8 +888,13 @@ class FullSystem:
         self.ef.marginalize_frame(i)
         self.window_frames.pop(i)
         self.window_pyrs.pop(i)
-        self.immature_pools.pop(i)
+        self.imm_live.pop(i)
         self.marg_flags.pop(i)
+        F = self.ef.F
+        perm = jnp.asarray(np.concatenate(
+            [np.arange(i), np.arange(i + 1, F), [i]]).astype(np.int32))
+        self.imm_stack = immature.shift_pool_slot_out(self.imm_stack, perm)
+        self.dIs = _shift_dI(self.dIs, perm)
 
     # ------------------------------------------------------------------ output
     def save_all(self, path: str):
