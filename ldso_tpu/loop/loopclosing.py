@@ -148,10 +148,24 @@ class LoopClosing:
         fx, fy = calib.fx[0], calib.fy[0]
         cx, cy = calib.cx[0], calib.cy[0]
 
-        match, dist = detector.match_descriptors(
-            jnp.asarray(kf.feat_desc), jnp.ones(len(kf.feat_desc), bool),
-            jnp.asarray(cand.feat_desc), jnp.ones(len(cand.feat_desc), bool))
-        match = np.asarray(match)
+        # matching: native popcount path when available, padded device
+        # fallback otherwise (stable shapes -> no per-call recompiles)
+        from ldso_tpu import native
+        nm = native.hamming_match(kf.feat_desc, cand.feat_desc)
+        if nm is not None:
+            match = nm[0]
+        else:
+            def pad_desc(d):
+                n = len(d)
+                nb = max(64, 1 << int(np.ceil(np.log2(max(n, 1)))))
+                return (np.concatenate([d, np.zeros((nb - n, 8), np.uint32)]),
+                        np.arange(nb) < n)
+            da, va = pad_desc(kf.feat_desc)
+            db, vb = pad_desc(cand.feat_desc)
+            m, _ = detector.match_descriptors(
+                jnp.asarray(da), jnp.asarray(va), jnp.asarray(db),
+                jnp.asarray(vb))
+            match = np.asarray(m)[:len(kf.feat_desc)]
         mi = np.nonzero(match >= 0)[0]
         if len(mi) < MIN_SIM3_INLIERS:
             return False
@@ -171,22 +185,32 @@ class LoopClosing:
         P_cand = backproject(cand.feat_uv[mj], id_cand)   # candidate frame
         P_cur = backproject(kf.feat_uv[mi], id_cur)       # current frame
 
+        # pad the correspondence set to a pow-2 bucket (stable jit shapes)
+        n = len(mi)
+        nb = max(64, 1 << int(np.ceil(np.log2(max(n, 1)))))
+        padP = np.zeros((nb - n, 3), np.float32)
+        P_cand_p = np.concatenate([P_cand.astype(np.float32), padP])
+        P_cur_p = np.concatenate([P_cur.astype(np.float32), padP + 1.0])
+        has3d_p = np.concatenate([has3d, np.zeros(nb - n, bool)])
+
         self.key, sub = jax.random.split(self.key)
         S0, inl, n_inl = umeyama_ransac(
-            jnp.asarray(P_cand, jnp.float32), jnp.asarray(P_cur, jnp.float32),
-            jnp.asarray(has3d), sub)
+            jnp.asarray(P_cand_p), jnp.asarray(P_cur_p),
+            jnp.asarray(has3d_p), sub)
         if int(n_inl) < MIN_SIM3_INLIERS:
             return False
 
         # refinement: 2D reprojection of candidate 3D into the current image
         # (uses every match with candidate depth) + 3D-3D on mutual-depth ones
-        m2d = (id_cand > 0).astype(np.float32)
-        uv_cur = kf.feat_uv[mi]
+        m2d = np.concatenate([(id_cand > 0).astype(np.float32),
+                              np.zeros(nb - n, np.float32)])
+        uv_cur = np.concatenate([kf.feat_uv[mi].astype(np.float32),
+                                 np.zeros((nb - n, 2), np.float32)])
         S, H, inl2d, inl3d = refine_sim3(
-            S0, jnp.asarray(P_cand, jnp.float32),
-            jnp.asarray(uv_cur, jnp.float32), jnp.asarray(m2d),
-            jnp.asarray(P_cand, jnp.float32), jnp.asarray(P_cur, jnp.float32),
-            jnp.asarray(has3d.astype(np.float32)),
+            S0, jnp.asarray(P_cand_p),
+            jnp.asarray(uv_cur), jnp.asarray(m2d),
+            jnp.asarray(P_cand_p), jnp.asarray(P_cur_p),
+            jnp.asarray(has3d_p.astype(np.float32)),
             (fx, fy, cx, cy))
         n_good = int(jnp.sum(inl2d)) + int(jnp.sum(inl3d))
         if n_good < MIN_SIM3_INLIERS:

@@ -100,9 +100,17 @@ def optimize_pose_graph(S_init: jax.Array, fixed: jax.Array,
     return jax.lax.fori_loop(0, iterations, gn_step, S_init)
 
 
+def _pow2(n: int, lo: int = 16) -> int:
+    import math
+    return max(lo, 1 << int(math.ceil(math.log2(max(n, 1)))))
+
+
 def run_pose_graph(global_map, cfg=None, iterations: int = 25):
     """Host wrapper over the GlobalMap poseRel edges (Map.cc:75-165).
-    Optimizes all keyframes' S_cw with the newest fixed; writes back."""
+    Optimizes all keyframes' S_cw with the newest fixed; writes back.
+
+    Vertex/edge counts are padded to power-of-two buckets so the jitted
+    GN program compiles O(log N) times over a whole run."""
     import numpy as np
 
     kfs = global_map.get_all_kfs()
@@ -110,9 +118,6 @@ def run_pose_graph(global_map, cfg=None, iterations: int = 25):
         return
     id_to_idx = {kf.kf_id: k for k, kf in enumerate(kfs)}
     N = len(kfs)
-    S = np.stack([kf.get_S_cw() for kf in kfs]).astype(np.float64)
-    fixed = np.zeros(N, bool)
-    fixed[N - 1] = True  # newest KF pinned (Map.cc:110)
 
     ei, ej, Zs, infos = [], [], [], []
     for kf in kfs:
@@ -126,12 +131,34 @@ def run_pose_graph(global_map, cfg=None, iterations: int = 25):
     if not ei:
         return
     E = len(ei)
+
+    # pad vertices: extra identity vertices, all fixed
+    Nb = _pow2(N)
+    S = np.tile(np.eye(4), (Nb, 1, 1))
+    S[:N] = np.stack([kf.get_S_cw() for kf in kfs])
+    fixed = np.ones(Nb, bool)
+    fixed[: N - 1] = False  # newest KF (index N-1) stays pinned (Map.cc:110)
+
+    # pad edges: self-edges on a fixed dummy vertex, masked out
+    Eb = _pow2(E)
+    eip = np.zeros(Eb, np.int32)
+    ejp = np.zeros(Eb, np.int32)
+    Zp = np.tile(np.eye(4), (Eb, 1, 1))
+    infop = np.tile(np.eye(7), (Eb, 1, 1))
+    valid = np.zeros(Eb, bool)
+    eip[:E] = ei
+    ejp[:E] = ej
+    Zp[:E] = np.stack(Zs)
+    infop[:E] = np.stack(infos)
+    valid[:E] = True
+    eip[E:] = N - 1  # fixed vertex
+    ejp[E:] = N - 1
+
     S_new = optimize_pose_graph(
         jnp.asarray(S), jnp.asarray(fixed),
-        jnp.asarray(np.array(ei, np.int32)), jnp.asarray(np.array(ej, np.int32)),
-        jnp.asarray(np.stack(Zs).astype(np.float64)),
-        jnp.asarray(np.stack(infos).astype(np.float64)),
-        jnp.ones(E, bool), iterations=iterations)
+        jnp.asarray(eip), jnp.asarray(ejp),
+        jnp.asarray(Zp), jnp.asarray(infop),
+        jnp.asarray(valid), iterations=iterations)
     S_new = np.asarray(S_new)
     for k, kf in enumerate(kfs):
         kf.S_cw = S_new[k]

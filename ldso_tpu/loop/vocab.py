@@ -195,10 +195,26 @@ class Vocabulary:
         return self._dev
 
     def transform(self, desc: jax.Array, valid: jax.Array) -> np.ndarray:
-        """(N, 8) uint32 -> word ids (N,), -1 for invalid."""
+        """(N, 8) uint32 -> word ids (N,), -1 for invalid. Prefers the
+        native C++ path; the device path pads N to a pow-2 bucket so the
+        jit compiles O(log N) times."""
+        desc_np = np.asarray(desc, np.uint32)
+        valid_np = np.asarray(valid)
+        try:
+            from ldso_tpu import native
+            out = native.bow_transform(desc_np, self.node_desc, self.children,
+                                       self.word_id, self.k, self.L)
+            if out is not None:
+                return np.where(valid_np, out, -1)
+        except Exception:  # noqa: BLE001
+            pass
+        n = len(desc_np)
+        nb = max(64, 1 << int(np.ceil(np.log2(max(n, 1)))))
+        pad = np.zeros((nb - n, 8), np.uint32)
         nd, ch, leaf, wid, _ = self._device_tables()
-        ids = _transform_batch(desc, nd, ch, leaf, wid, self.L, self.k)
-        return np.where(np.asarray(valid), np.asarray(ids), -1)
+        ids = _transform_batch(jnp.asarray(np.concatenate([desc_np, pad])),
+                               nd, ch, leaf, wid, self.L, self.k)
+        return np.where(valid_np, np.asarray(ids)[:n], -1)
 
     def bow_vector(self, word_ids: np.ndarray) -> Dict[int, float]:
         """TF-IDF weighted, L1-normalized (DBoW3 WeightingType::TF_IDF)."""
@@ -237,9 +253,11 @@ def _transform_batch(desc, node_desc, children, is_leaf, word_id,
         kids = children[cur]                               # (N, k)
         kd = node_desc[jnp.maximum(kids, 0)]               # (N, k, 8)
         x = jnp.bitwise_xor(kd, desc[:, None, :])
-        d = jnp.sum(jax.lax.population_count(x), axis=-1)
+        # cast to SIGNED before comparing: popcount yields uint32 and
+        # negating unsigned wraps around
+        d = jnp.sum(jax.lax.population_count(x), axis=-1).astype(jnp.int32)
         d = jnp.where(kids >= 0, d, 10 ** 6)
-        best = jnp.argmax(-d, axis=-1)
+        best = jnp.argmin(d, axis=-1)
         nxt = jnp.take_along_axis(kids, best[:, None], axis=1)[:, 0]
         # stay put when already at a leaf / no children
         has_child = jnp.any(kids >= 0, axis=-1)

@@ -40,14 +40,18 @@ class TestVocabulary:
         descs = np.stack(descs)
         voc = Vocabulary.train(descs, k=3, L=2, seed=1)
         wids = voc.transform(jnp.asarray(descs), jnp.ones(len(descs), bool))
-        # same-cluster descriptors map to the same word
+        labels = np.asarray(labels)
+        # different clusters never share words; within a cluster one word
+        # dominates (the tree may split a tight cluster into sibling leaves)
+        sets = []
         for c in range(3):
-            ws = wids[np.asarray(labels) == c]
-            assert len(np.unique(ws)) <= 2, f"cluster {c} split into {np.unique(ws)}"
-        # different clusters map to different words
-        w0 = wids[np.asarray(labels) == 0][0]
-        w1 = wids[np.asarray(labels) == 1][0]
-        assert w0 != w1
+            ws = wids[labels == c]
+            vals, counts = np.unique(ws, return_counts=True)
+            assert counts.max() >= 0.8 * len(ws), \
+                f"cluster {c} fragmented: {dict(zip(vals, counts))}"
+            sets.append(set(vals.tolist()))
+        assert not (sets[0] & sets[1]) and not (sets[1] & sets[2]) \
+            and not (sets[0] & sets[2])
 
     def test_score_identity_and_disjoint(self):
         v1 = {1: 0.5, 2: 0.5}
