@@ -84,6 +84,10 @@ def main():
     R = (U @ Vt).T
     ate = float(np.sqrt(np.mean(np.sum((gc - s * (ec @ R.T)) ** 2, 1))))
 
+    # ---- batched-throughput mode (BASELINE config[4]): many sequences in
+    # lockstep through the tracking kernel — the TPU scaling axis ----------
+    batched_fps = _bench_batched_tracking()
+
     baseline_fps = 30.0  # CPU-LDSO real-time envelope (see module docstring)
     print(json.dumps({
         "metric": "frames/sec synthetic 640x480 VO (full pipeline, preset 0)",
@@ -92,9 +96,57 @@ def main():
         "vs_baseline": round(fps / baseline_fps, 3),
         "ate_m_sim_aligned": round(ate, 5),
         "frames_measured": n_done,
+        "batched_tracking_fps_16seq": round(batched_fps, 1),
         "device": str(jax.devices()[0]),
     }))
     return 0
+
+
+def _bench_batched_tracking(B: int = 16, n_iters: int = 30) -> float:
+    """Aggregate tracked frames/sec with B sequences in lockstep through the
+    batched coarse-tracking kernel (parallel/replay.py; on a v5e-8 the batch
+    axis shards over the mesh — here it exercises one chip)."""
+    import jax
+    import jax.numpy as jnp
+    import time as _time
+    from ldso_tpu.config import Config
+    from ldso_tpu.frontend import tracker
+    from ldso_tpu.math import lie
+    from ldso_tpu.ops.preprocess import make_pyramid
+    from ldso_tpu.synthetic import PlaneScene, default_calib
+
+    cfg = Config()
+    calib = default_calib(640, 480)
+    scene = PlaneScene(freq_hi=25.0, contrast=80.0)
+    img0, id0 = scene.render(calib, jnp.eye(4, dtype=jnp.float32))
+    pyr0 = make_pyramid(img0, calib.levels)
+    ref = tracker.make_tracker_ref_from_idepth(
+        id0, pyr0, calib, cfg.tracker_caps[:calib.levels], stride=2)
+    T1 = lie.se3_exp(jnp.asarray([0.02, -0.01, 0.005, 0.002, 0.004, -0.001],
+                                 jnp.float32))
+    img1, _ = scene.render(calib, T1)
+    pyr1 = make_pyramid(img1, calib.levels)
+
+    refs = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x[None], (B,) + x.shape), ref)
+    pyrs = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x[None], (B,) + x.shape), pyr1)
+    T0 = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (B, 4, 4))
+    aff0 = jnp.zeros((B, 2), jnp.float32)
+    expo = jnp.ones((B,), jnp.float32)
+    min_abort = jnp.full((B, calib.levels), 1e9, jnp.float32)
+
+    coarsest = calib.levels - 1
+    step = jax.jit(jax.vmap(
+        lambda r, p, T, a, e, m: tracker.track_frame(
+            r, p, T, a, e, m, calib, cfg, coarsest)))
+    out = step(refs, pyrs, T0, aff0, expo, min_abort)
+    jax.block_until_ready(out)
+    t0 = _time.time()
+    for _ in range(n_iters):
+        out = step(refs, pyrs, out[0], aff0, expo, min_abort)
+    jax.block_until_ready(out)
+    return B * n_iters / (_time.time() - t0)
 
 
 if __name__ == "__main__":

@@ -279,7 +279,8 @@ class EnergyFunctional:
         Hb = np.asarray(jnp.concatenate([H, b[None, :]], axis=0), np.float64)
         self.HM += self.cfg.marg_weight_fac * Hb[:-1][:n, :n]
         self.bM += self.cfg.marg_weight_fac * Hb[-1][:n]
-        self.res_in_m += int(nres)
+        from ldso_tpu.utils.transfer import device_get
+        self.res_in_m += int(device_get(nres))
         # remove the points
         self.W = _drop_points_dev(W, pt_mask)
         self.pt_valid_np &= ~mask_np
@@ -463,16 +464,18 @@ class EnergyFunctional:
             self.W, stats = ba_device.optimize_device(
                 self.W, dIs, jnp.asarray(HMp), jnp.asarray(bMp),
                 jnp.int32(newest), cfg, img_w, img_h, max_iterations)
-            stats = np.asarray(stats)
+            from ldso_tpu.utils.transfer import device_get
+            stats = device_get(stats)
             self.res_in_a = int(stats[1])
             if not np.isfinite(stats[0]):
                 self.is_lost = True
             return float(stats[2])
 
+        from ldso_tpu.utils.transfer import device_get_scalar
         self.W = _reset_oob(self.W)
         self.W, eP = ba.linearize_all(self.W, dIs, cfg, img_w, img_h)
         self.W = ba.set_new_frame_energy_th(self.W, jnp.int32(newest), cfg)
-        last_energy = float(eP)
+        last_energy = device_get_scalar(eP)
         lastL = self.calc_L_energy()
         lastM = self.calc_M_energy()
         self.W = ba.apply_res(self.W)
@@ -482,13 +485,13 @@ class EnergyFunctional:
             self.W = ba.backup_state(self.W)
             self.solve_system(iteration, lam)
             self.W, canbreak = ba.do_step(self.W, 1.0, 1.0, 1.0, 1.0, 1.0)
-            canbreak = bool(canbreak)
+            canbreak = bool(device_get_scalar(canbreak))
 
             self.W, eP = ba.linearize_all(self.W, dIs, cfg, img_w, img_h)
             self.W = ba.set_new_frame_energy_th(self.W, jnp.int32(newest), cfg)
             newL = self.calc_L_energy()
             newM = self.calc_M_energy()
-            new_energy = float(eP)
+            new_energy = device_get_scalar(eP)
 
             if cfg.force_accept_step or (new_energy + newL + newM
                                          < last_energy + lastL + lastM):
@@ -499,7 +502,7 @@ class EnergyFunctional:
                 self.W = ba.load_backup(self.W)
                 self.W, eP = ba.linearize_all(self.W, dIs, cfg, img_w, img_h)
                 self.W = ba.set_new_frame_energy_th(self.W, jnp.int32(newest), cfg)
-                last_energy = float(eP)
+                last_energy = device_get_scalar(eP)
                 lastL = self.calc_L_energy()
                 lastM = self.calc_M_energy()
                 lam *= 1e2
@@ -523,7 +526,7 @@ class EnergyFunctional:
         self.W, eP = ba.linearize_all(self.W, dIs, cfg, img_w, img_h)
         self.W = ba.set_new_frame_energy_th(self.W, jnp.int32(newest), cfg)
         self.W = _finalize_linearization(self.W)
-        last_energy = float(eP)
+        last_energy = device_get_scalar(eP)
         if not np.isfinite(last_energy):
             self.is_lost = True
         rmse = np.sqrt(last_energy / max(8 * self.res_in_a, 1))

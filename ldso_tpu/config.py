@@ -75,6 +75,7 @@ class Config:
     min_points_remaining: float = 0.05         # (Setting.cc:31)
     max_log_aff_fac_in_window: float = 0.7     # (Setting.cc:32)
     min_frame_age: int = 1                     # (Setting.cc:35)
+    keyframes_per_second: float = 0.0          # 0 = heuristic (Setting.cc:9)
     kf_global_weight: float = 1.0              # (Setting.cc:14)
     max_shift_weight_t: float = 0.04 * (640 + 480)   # (Setting.cc:11)
     max_shift_weight_r: float = 0.0 * (640 + 480)

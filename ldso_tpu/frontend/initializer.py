@@ -556,10 +556,11 @@ def track_frame(state: InitializerState, pyr_first: FramePyramid,
     for lvl in range(0, top):
         levels[lvl + 1] = _propagate_up(levels[lvl], levels[lvl + 1], snapped)
 
+    from ldso_tpu.utils.transfer import device_get
     state.levels = tuple(levels)
-    state.T = np.asarray(T, np.float64)
-    state.aff = np.asarray(aff, np.float64)
-    state.snapped = bool(snapped)
+    state.T = device_get(T).astype(np.float64)
+    state.aff = device_get(aff).astype(np.float64)
+    state.snapped = bool(device_get(snapped))
     state.frame_id += 1
     if not state.snapped:
         state.snapped_at = 0

@@ -197,7 +197,8 @@ class LoopClosing:
         S0, inl, n_inl = umeyama_ransac(
             jnp.asarray(P_cand_p), jnp.asarray(P_cur_p),
             jnp.asarray(has3d_p), sub)
-        if int(n_inl) < MIN_SIM3_INLIERS:
+        from ldso_tpu.utils.transfer import device_get
+        if int(device_get(n_inl)) < MIN_SIM3_INLIERS:
             return False
 
         # refinement: 2D reprojection of candidate 3D into the current image
@@ -212,7 +213,7 @@ class LoopClosing:
             jnp.asarray(P_cand_p), jnp.asarray(P_cur_p),
             jnp.asarray(has3d_p.astype(np.float32)),
             (fx, fy, cx, cy))
-        n_good = int(jnp.sum(inl2d)) + int(jnp.sum(inl3d))
+        n_good = int(device_get(jnp.sum(inl2d) + jnp.sum(inl3d)))
         if n_good < MIN_SIM3_INLIERS:
             return False
 

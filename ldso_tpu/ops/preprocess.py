@@ -70,8 +70,7 @@ def _downsample2(I):
                    + I[0:H:2, 1:W:2] + I[1:H:2, 1:W:2])
 
 
-def make_pyramid(img, levels: int, b_grad_lut=None) -> FramePyramid:
-    """img: (H, W) float32 photometrically-linear rectified image."""
+def _make_pyramid_impl(img, levels: int, b_grad_lut=None) -> FramePyramid:
     dIs = []
     ags = []
     I = img
@@ -82,6 +81,14 @@ def make_pyramid(img, levels: int, b_grad_lut=None) -> FramePyramid:
         dIs.append(jnp.stack([I, dx, dy], axis=-1))
         ags.append(ag)
     return FramePyramid(dI=tuple(dIs), abs_grad=tuple(ags))
+
+
+@functools.partial(jax.jit, static_argnames=("levels",))
+def make_pyramid(img, levels: int, b_grad_lut=None) -> FramePyramid:
+    """img: (H, W) float32 photometrically-linear rectified image.
+    One fused device program (FrameHessian::makeImages equivalent)."""
+    return _make_pyramid_impl(jnp.asarray(img, jnp.float32), levels,
+                              b_grad_lut)
 
 
 @functools.partial(jax.jit, static_argnames=("levels",))
@@ -126,4 +133,4 @@ def preprocess_frame(
             + (1.0 - fx - fy + fxy) * v00)
     rect = jnp.where(valid, rect, 0.0).astype(jnp.float32)
 
-    return make_pyramid(rect, levels, b_grad_lut)
+    return _make_pyramid_impl(rect, levels, b_grad_lut)

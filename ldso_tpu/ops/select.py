@@ -224,7 +224,8 @@ class PixelSelector:
         status, counts = select(pyr.dI[0], pyr.abs_grad[0], ag1, ag2, ths,
                                 self.current_potential, th_factor,
                                 cfg.seed, cfg.grad_downweight_per_level)
-        num_have = float(counts.sum())
+        from ldso_tpu.utils.transfer import device_get
+        num_have = float(device_get(counts).sum())
         quotia = density / max(num_have, 1.0)
 
         K = num_have * (self.current_potential + 1) ** 2
@@ -241,7 +242,7 @@ class PixelSelector:
         if quotia < 0.95:
             status = _subsample(status, self.random_pattern,
                                 jnp.float32(quotia))
-            num_have = float((status != 0).sum())
+            num_have = float(device_get((status != 0).sum()))
         self.current_potential = ideal
         return status, int(num_have)
 
@@ -284,7 +285,8 @@ def make_pixel_status(dI: jax.Array, desired_density: float,
     """Host density-adaptation loop (makePixelStatus, PixelSelector2.h:228-266).
     Returns (bool map, count, new_sparsity)."""
     out, n = grid_max_selection(dI, sparsity, th_fac)
-    n = int(n)
+    from ldso_tpu.utils.transfer import device_get
+    n = int(device_get(n))
     quotia = n / max(desired_density, 1.0)
     new_sparsity = max(int(sparsity * np.sqrt(quotia) + 0.7), 1)
     old_th = th_fac

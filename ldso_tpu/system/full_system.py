@@ -404,7 +404,8 @@ class FullSystem:
             Tb, affb, okb, resb, flowb = tracker.track_frame_hypotheses(
                 self.tracker_ref, pyr, T_batch, aff0,
                 jnp.float32(shell.exposure), min_abort, calib, cfg, coarsest)
-            okn = np.asarray(okb)
+            from ldso_tpu.utils.transfer import device_get
+            okn = device_get(okb)
             resn = np.asarray(resb, np.float64)
             resn0 = np.where(okn & np.isfinite(resn[:, 0]), resn[:, 0], np.inf)
             k = int(np.argmin(resn0))
@@ -435,6 +436,12 @@ class FullSystem:
         """Optical-flow + affine heuristic (FullSystem.cc:125-147)."""
         cfg, calib = self.cfg, self.calib
         ref = self.tracker_ref_shell
+        if cfg.keyframes_per_second > 0:
+            # time-based keyframing (FullSystem.cc:126-131)
+            last_kf = self.window_frames[-1]
+            return (len(self.all_frames) == 1
+                    or (shell.timestamp - last_kf.timestamp)
+                    > 0.95 / cfg.keyframes_per_second)
         ef_, et_ = ref.exposure or 1.0, shell.exposure or 1.0
         rel_a = float(np.exp(shell.aff[0] - ref.aff[0]) * et_ / ef_)
         wh = calib.w[0] + calib.h[0]
@@ -481,8 +488,9 @@ class FullSystem:
         pt_valid = self.ef.pt_valid_np
         flags = [False] * nf
 
-        # immature counts: one pull for all pools
-        imm_counts = np.asarray(immature.pool_counts(self.imm_stack))
+        # immature counts: one (padded) pull for all pools
+        from ldso_tpu.utils.transfer import device_get
+        imm_counts = device_get(immature.pool_counts(self.imm_stack))
 
         newest = self.window_frames[-1]
         flagged = 0
