@@ -575,7 +575,8 @@ class FullSystem:
         inb = (uu > 0) & (vv > 0) & (uu < w1) & (vv < h1)
         occ = np.zeros((h1, w1), bool)
         occ[vv[inb], uu[inb]] = True
-        dist_map = distance_transform(jnp.asarray(occ))
+        from ldso_tpu.ops.pallas_kernels import distance_transform_auto
+        dist_map = distance_transform_auto(jnp.asarray(occ))
 
         # gate all slots in one dispatch + one pull
         F = self.ef.F

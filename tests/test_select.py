@@ -118,3 +118,24 @@ class TestGridMax:
 
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])
+
+
+class TestPallasDistance:
+    def test_matches_xla_reference(self):
+        import jax.numpy as jnp
+        from ldso_tpu.ops.distance_map import distance_transform
+        from ldso_tpu.ops.pallas_kernels import distance_transform_pallas
+        rng = np.random.RandomState(0)
+        occ = rng.rand(64, 96) < 0.01
+        ref = np.asarray(distance_transform(jnp.asarray(occ)))
+        pal = np.asarray(distance_transform_pallas(jnp.asarray(occ),
+                                                   interpret=True))
+        np.testing.assert_allclose(pal, ref, atol=0)
+
+    def test_empty_map(self):
+        import jax.numpy as jnp
+        from ldso_tpu.ops.pallas_kernels import distance_transform_pallas
+        occ = np.zeros((32, 32), bool)
+        out = np.asarray(distance_transform_pallas(jnp.asarray(occ),
+                                                   interpret=True))
+        assert (out == 1000.0).all()
