@@ -31,11 +31,13 @@ def main():
     from ldso_tpu.synthetic import PlaneScene, default_calib
     from ldso_tpu.system.full_system import FullSystem
 
-    cfg = Config()
+    import dataclasses
+    # BASELINE config[0]/[1] headline: pure DSO, loop closing off
+    cfg = dataclasses.replace(Config(), enable_loop_closing=False)
     calib = default_calib(640, 480)
     scene = PlaneScene(freq_hi=25.0, contrast=80.0)
 
-    n_warm = 26       # bootstrap + fill the window + compile everything
+    n_warm = 34       # bootstrap + fill the window + compile everything
     n_meas = 48
     N = n_warm + n_meas
 

@@ -15,7 +15,7 @@ def parse_args(argv):
     opts = dict(files=None, calib=None, gamma=None, vignette=None,
                 vocab=None, preset=0, mode=0, loopclosing=True,
                 start=0, end=100000, output="results.txt", nogui=True,
-                point_selection=None, quiet=False)
+                point_selection=None, quiet=False, speed=0.0)
     for arg in argv:
         if "=" not in arg:
             continue
@@ -28,7 +28,11 @@ def parse_args(argv):
             opts[k] = v not in ("0", "false", "False")
         elif k == "pointSelection":
             opts["point_selection"] = int(v)
-        elif k in ("nogui", "quiet", "nolog", "speed", "nomt", "save"):
+        elif k == "speed":
+            opts["speed"] = float(v)   # >0: timestamp-paced, skip if behind
+        elif k == "quiet":
+            opts["quiet"] = v not in ("0", "false", "False")
+        elif k in ("nogui", "nolog", "nomt", "save"):
             pass  # accepted for CLI parity; no-ops here
     return opts
 
@@ -64,7 +68,7 @@ def build_system(opts, dataset_type: str):
     vocab = None
     if opts["vocab"] and os.path.exists(opts["vocab"]):
         try:
-            vocab = Vocabulary.load_text(opts["vocab"])
+            vocab = Vocabulary.load(opts["vocab"])  # sniffs binary .dbow3 vs text
             print(f"loaded vocabulary: {vocab.n_words} words")
         except Exception as e:  # noqa: BLE001
             print(f"vocabulary load failed ({e}); training online instead")
@@ -82,6 +86,7 @@ def build_system(opts, dataset_type: str):
 def run(opts, dataset_type: str, kitti_output: bool = False):
     from ldso_tpu.io.trajectory import write_kitti, write_tum, save_ply
     from ldso_tpu.system.full_system import FullSystem
+    from ldso_tpu.utils.timing import maybe_xprof
 
     fs, reader, calib, cfg = build_system(opts, dataset_type)
     n = reader.num_images()
@@ -91,8 +96,24 @@ def run(opts, dataset_type: str, kitti_output: bool = False):
 
     t0 = time.time()
     n_run = 0
+    n_skipped = 0
     i = lo
+    ts0 = None
+    speed = opts.get("speed", 0.0)
+    stamps = reader.timestamps
+    xprof = maybe_xprof()
+    xprof.__enter__()   # no-op unless LDSO_TPU_XPROF is set
     while i < hi:
+        # timestamp-paced playback: when running slower than speed x
+        # real time, drop frames to catch up (run_dso_tum_mono.cc:363-398)
+        if speed > 0 and stamps and n_run > 0:
+            if ts0 is None:
+                ts0 = stamps[lo]
+            behind = (time.time() - t0) - (stamps[i] - ts0) / speed
+            if behind > 0 and i + 1 < hi:
+                i += 1
+                n_skipped += 1
+                continue
         img, expo, ts = reader.get_image(i)
         fs.add_active_frame(img, i, expo, ts)
         n_run += 1
@@ -111,8 +132,12 @@ def run(opts, dataset_type: str, kitti_output: bool = False):
                   f"{fs.global_map.num_frames()} KFs")
         i += 1
 
+    xprof.__exit__(None, None, None)
     dt = time.time() - t0
-    print(f"processed {n_run} frames in {dt:.1f}s = {n_run / max(dt, 1e-9):.2f} fps")
+    print(f"processed {n_run} frames in {dt:.1f}s = {n_run / max(dt, 1e-9):.2f} fps"
+          + (f" ({n_skipped} skipped for pacing)" if n_skipped else ""))
+    if not opts.get("quiet"):
+        print(fs.timer.summary())
 
     # final global optimization + outputs
     if fs.loop_closing is not None and fs.global_map.num_frames() > 4:
@@ -130,8 +155,9 @@ def run(opts, dataset_type: str, kitti_output: bool = False):
                   [kf.get_S_cw() for kf in kfs])
         write_tum(out + ".noloop", [kf.timestamp for kf in kfs],
                   [kf.T_cw for kf in kfs])
+    fs.flush_active_points()   # live window points join the map
     pc = fs.global_map.point_cloud()
     if len(pc):
-        save_ply("pointcloud.ply", pc)
+        save_ply(os.path.join(os.path.dirname(out) or ".", "pointcloud.ply"), pc)
     print(f"wrote {out} (+.noloop), {len(pc)} map points")
     return fs

@@ -32,13 +32,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ldso_tpu.config import (CPARS, Config, PATTERN, SCALE_A, SCALE_B,
-                             SCALE_C, SCALE_F, SCALE_IDEPTH, SCALE_XI_ROT,
-                             SCALE_XI_TRANS)
-from ldso_tpu.backend.window import (C_SCALE, FRAME_SCALE, RES_IN, RES_OOB,
+from ldso_tpu.config import (CPARS, Config, PATTERN, SCALE_C, SCALE_F,
+                             SCALE_IDEPTH)
+from ldso_tpu.backend.window import (FRAME_SCALE, RES_IN, RES_OOB,
                                      RES_OUTLIER, Window, aff_g2l,
-                                     aff_g2l_zero, c_scaled, current_poses,
-                                     scaled_state)
+                                     aff_g2l_zero, c_scaled, current_poses)
 from ldso_tpu.frontend import affine
 from ldso_tpu.math import lie
 

@@ -19,7 +19,6 @@ iteration >= 2) runs on device via SVD of the 9-column nullspace basis.
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -25,8 +25,7 @@ import numpy as np
 from ldso_tpu.config import CPARS, Config, SCALE_A, SCALE_B, SCALE_XI_ROT, SCALE_XI_TRANS
 from ldso_tpu.backend import ba
 from ldso_tpu.backend.window import (RES_IN, RES_OOB, RES_OUTLIER, Window,
-                                     aff_g2l_zero, current_poses, empty_window,
-                                     scaled_state)
+                                     aff_g2l_zero, current_poses, empty_window)
 from ldso_tpu.math import lie
 
 
@@ -77,9 +76,6 @@ def _finalize_linearization(W: Window) -> Window:
         res_exist=W.res_exist & ~(mask & ~W.res_active),
     )
     return W
-
-
-import functools as _functools
 
 
 @jax.jit

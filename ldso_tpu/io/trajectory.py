@@ -7,7 +7,7 @@ Umeyama alignment replaces the reference's offline evaluation step."""
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence
+from typing import Optional, Sequence
 
 import numpy as np
 

@@ -21,7 +21,7 @@ The inverted-index database lives in `ldso_tpu.loop.database`.
 from __future__ import annotations
 
 import functools
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 import jax
 import jax.numpy as jnp
@@ -143,6 +143,131 @@ class Vocabulary:
         self._dev = None
 
     # ------------------------------------------------------------- file I/O
+    MAGIC = 88877711233        # DBoW3 binary signature (Vocabulary.cpp:1146)
+
+    @staticmethod
+    def load(path: str) -> "Vocabulary":
+        """Sniff the format: DBoW3 binary (.dbow3) by magic, else text."""
+        with open(path, "rb") as f:
+            sig = f.read(8)
+        if len(sig) == 8 and int.from_bytes(sig, "little") == Vocabulary.MAGIC:
+            return Vocabulary.load_binary(path)
+        return Vocabulary.load_text(path)
+
+    @staticmethod
+    def load_binary(path: str) -> "Vocabulary":
+        """DBoW3 binary format (Vocabulary::fromStream,
+        thirdparty/DBoW3/src/Vocabulary.cpp:1299-1371):
+
+          u64 magic | u8 compressed | u32 nnodes | payload
+          payload   = i32 k, L, scoring, weighting
+                      (nnodes-1) x [u32 node_id, u32 parent_id, f64 weight,
+                                    i32 cols, i32 rows, i32 cvtype,
+                                    cols bytes descriptor]
+                      u32 n_words, n_words x [u32 word_id, u32 node_id]
+          compressed payloads are QuickLZ-L1 chunks of <= 10000 bytes, each
+          prefixed stream carrying its own sizes (Vocabulary.cpp:1196-1216).
+        """
+        import struct
+        from ldso_tpu.loop import qlz
+
+        with open(path, "rb") as f:
+            raw = f.read()
+        sig, = struct.unpack_from("<Q", raw, 0)
+        if sig != Vocabulary.MAGIC:
+            raise ValueError(f"{path}: not a DBoW3 binary vocabulary")
+        compressed = raw[8] != 0
+        nnodes, = struct.unpack_from("<I", raw, 9)
+        if nnodes == 0:
+            raise ValueError(f"{path}: empty vocabulary")
+        if compressed:
+            nchunks, = struct.unpack_from("<I", raw, 13)
+            off = 17
+            parts = []
+            for _ in range(nchunks):
+                csize = qlz.size_compressed(raw, off)
+                parts.append(qlz.decompress(raw, off))
+                off += csize
+            buf = b"".join(parts)
+        else:
+            buf = raw[13:]
+
+        off = 0
+        k, L, _scoring, _weighting = struct.unpack_from("<iiii", buf, off)
+        off += 16
+        desc_b = np.zeros((nnodes, 32), np.uint8)
+        parent = np.full(nnodes, -1, np.int64)
+        weight = np.zeros(nnodes, np.float64)
+        order = []                      # child ids in file (=DFS) order
+        for _ in range(nnodes - 1):
+            nid, pid = struct.unpack_from("<II", buf, off)
+            w, = struct.unpack_from("<d", buf, off + 8)
+            cols, _rows, cvtype = struct.unpack_from("<iii", buf, off + 16)
+            off += 28
+            if cvtype != 0 or cols != 32:
+                raise ValueError(f"{path}: only 256-bit CV_8U descriptors "
+                                 f"supported (got type={cvtype}, cols={cols})")
+            desc_b[nid] = np.frombuffer(buf, np.uint8, 32, off)
+            off += 32
+            parent[nid] = pid
+            weight[nid] = w
+            order.append(nid)
+        children = np.full((nnodes, k), -1, np.int32)
+        fill = np.zeros(nnodes, np.int32)
+        for nid in order:               # file order preserves child order
+            p = parent[nid]
+            if fill[p] < k:
+                children[p, fill[p]] = nid
+                fill[p] += 1
+        n_words, = struct.unpack_from("<I", buf, off)
+        off += 4
+        wid = np.full(nnodes, -1, np.int32)
+        ww = np.zeros(n_words, np.float32)
+        for _ in range(n_words):
+            w_id, nid = struct.unpack_from("<II", buf, off)
+            off += 8
+            wid[nid] = w_id
+            ww[w_id] = weight[nid]
+        leaf = wid >= 0
+        words = _pack_bits(
+            np.unpackbits(desc_b, axis=1, bitorder="little").reshape(nnodes, 256))
+        return Vocabulary(k, L, words, children, leaf, wid, ww)
+
+    def save_binary(self, path: str):
+        """Write the DBoW3 binary layout (uncompressed mode — the flag byte
+        the reference reader already honors, Vocabulary.cpp:1314)."""
+        import struct
+
+        M = self.node_desc.shape[0]
+        desc_b = np.packbits(
+            _unpack_bits(self.node_desc).reshape(M, 256), axis=1,
+            bitorder="little")
+        weight = np.zeros(M, np.float64)
+        leaves = np.nonzero(self.is_leaf)[0]
+        weight[leaves] = self.word_weight[self.word_id[leaves]]
+
+        out = [struct.pack("<iiii", self.k, self.L, 0, 0)]   # L1, TF_IDF
+        stack = [0]
+        nnodes = 1
+        while stack:                    # DFS matching toStream's traversal
+            pid = stack.pop()
+            for c in self.children[pid]:
+                if c < 0:
+                    continue
+                out.append(struct.pack("<IId", int(c), int(pid),
+                                       float(weight[c])))
+                out.append(struct.pack("<iii", 32, 1, 0))
+                out.append(desc_b[c].tobytes())
+                nnodes += 1
+                if not self.is_leaf[c]:
+                    stack.append(int(c))
+        out.append(struct.pack("<I", self.n_words))
+        for nid in leaves:
+            out.append(struct.pack("<II", int(self.word_id[nid]), int(nid)))
+        with open(path, "wb") as f:
+            f.write(struct.pack("<QBI", Vocabulary.MAGIC, 0, nnodes))
+            f.write(b"".join(out))
+
     @staticmethod
     def load_text(path: str) -> "Vocabulary":
         """DBoW2/DBoW3 text format: 'k L scoring weighting' then per node:

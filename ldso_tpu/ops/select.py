@@ -25,7 +25,6 @@ decorrelation effect with identical determinism.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

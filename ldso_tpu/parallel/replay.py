@@ -18,9 +18,6 @@ on a v5e-8 ICI mesh or a CPU-device test mesh.
 
 from __future__ import annotations
 
-import functools
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -124,7 +121,6 @@ def make_sharded_build_system(mesh: Mesh, axis: str = "dp"):
         return Hs[0], bs[0], HLp, bLp, Hs[2], bs[2], nres
 
     def _add_priors(H, b, W, pc):
-        import numpy as _np
         from ldso_tpu.config import CPARS
         F = W.F
         delta_prior = (W.state - 0.0)[:, :8]

@@ -19,6 +19,8 @@ tracking/mapping split can be layered on top (SURVEY.md §2.3).
 
 from __future__ import annotations
 
+import time
+
 import functools
 from typing import List, Optional
 
@@ -38,6 +40,7 @@ from ldso_tpu.ops import select as select_ops
 from ldso_tpu.ops.distance_map import distance_transform
 from ldso_tpu.ops.interp import bilinear
 from ldso_tpu.ops.preprocess import FramePyramid, make_pyramid
+from ldso_tpu.utils.timing import StageTimer
 from ldso_tpu.slam_map import FrameShell, GlobalMap, MapPointRecord
 
 
@@ -196,6 +199,7 @@ class FullSystem:
         self.ef = EnergyFunctional(cfg, calib)
         self.selector = select_ops.PixelSelector(calib.w[0], calib.h[0], cfg)
         self.global_map = GlobalMap()
+        self.timer = StageTimer()   # per-stage wall timing (SURVEY.md §5)
         self.loop_closing = None
         if cfg.enable_loop_closing:
             from ldso_tpu.loop.loopclosing import LoopClosing
@@ -256,28 +260,35 @@ class FullSystem:
     def add_active_frame(self, image: np.ndarray, frame_id: int,
                          exposure: float = 1.0, timestamp: float = 0.0) -> FrameShell:
         """image: rectified, photometrically linear float (H, W)."""
+        t_frame = time.time()
         shell = FrameShell(id=frame_id, timestamp=timestamp, exposure=exposure)
         if self.is_lost:
             shell.pose_valid = False
             self.all_frames.append(shell)
             return shell
-        pyr = make_pyramid(jnp.asarray(image, jnp.float32), self.calib.levels,
-                           self.b_grad)
+        with self.timer.stage("pyramid"):
+            pyr = make_pyramid(jnp.asarray(image, jnp.float32),
+                               self.calib.levels, self.b_grad)
         self.all_frames.append(shell)
 
         if not self.initialized:
-            self._do_initialize(shell, pyr)
+            with self.timer.stage("initialize"):
+                self._do_initialize(shell, pyr)
             return shell
 
-        ok = self._track_new_coarse(shell, pyr)
+        with self.timer.stage("track"):
+            ok = self._track_new_coarse(shell, pyr)
         if not ok:
             self.is_lost = True
             return shell
         need_kf = self._keyframe_decision(shell)
         if need_kf:
-            self.make_keyframe(shell, pyr)
+            with self.timer.stage("keyframe"):
+                self.make_keyframe(shell, pyr)
         else:
-            self.make_non_keyframe(shell, pyr)
+            with self.timer.stage("non_keyframe"):
+                self.make_non_keyframe(shell, pyr)
+        self.timer.log_frame(frame_id, (time.time() - t_frame) * 1000.0)
         return shell
 
     # ---------------------------------------------------------- initialization
@@ -827,6 +838,15 @@ class FullSystem:
                     u=(u[p] - cx) / fx, v=(v[p] - cy) / fy,
                     idepth=float(idep[p])))
                 fr._n_dead_points = getattr(fr, "_n_dead_points", 0) + 1
+
+    def flush_active_points(self):
+        """Retire all still-active window points into the global map. Called
+        at end of run so short sequences (no marginalization yet) still
+        produce a point cloud — the analogue of the viewer reading the live
+        window (DSOViewer.h:115-152 saves active + marginalized points)."""
+        mask = self.ef.pt_valid_np.copy()
+        if mask.any():
+            self._record_marginalized_points(mask)
 
     def _update_tracker_ref(self):
         """setCoarseTrackingRef + makeCoarseDepthL0 (CoarseTracker.cc:240-438).

@@ -13,7 +13,7 @@ import collections
 import contextlib
 import os
 import time
-from typing import Dict, Optional
+from typing import Dict
 
 
 class StageTimer:

@@ -9,8 +9,6 @@ pulling, so no call site can hit the cliff.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np

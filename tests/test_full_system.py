@@ -65,8 +65,14 @@ class TestFullSystemVO:
         n_active = int(fs.ef.W.pt_valid.sum())
         assert 100 < n_active <= cfg.max_points
         # map accumulates retired points
-        assert sum(len(kf.map_points) for kf in
-                   fs.global_map.get_all_kfs()) > 0
+        n_retired = sum(len(kf.map_points) for kf in
+                        fs.global_map.get_all_kfs())
+        assert n_retired > 0
+        # shutdown flush retires the still-active window points too
+        fs.flush_active_points()
+        pc = fs.global_map.point_cloud()
+        assert len(pc) >= n_retired + 100
+        assert np.isfinite(pc).all()
 
     def test_keyframe_trajectory_subset(self):
         cfg = Config(max_points=512, max_immature=512,
