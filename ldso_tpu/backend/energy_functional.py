@@ -95,10 +95,17 @@ def _insert_frame_dev(W: Window, i, T_cw, st, prior, exposure, inherit_th):
 
 
 @jax.jit
-def _insert_points_dev(W: Window, sl, valid, host, u, v, color, weights,
-                       idepth, prior, energy_th):
-    """All point-insertion mutations in one dispatch. `sl` slots of invalid
-    (padding) entries are set to P (out of range) and dropped by scatter."""
+def _insert_points_dev(W: Window, ints, floats):
+    """All point-insertion mutations in one dispatch. Inputs arrive as TWO
+    packed arrays (the tunnel charges per transfer): ints (kb, 3) =
+    [slot, valid, host]; floats (kb, 21) = [u, v, idepth, prior, energy_th,
+    color(8), weights(8)]. Padding slots are set to P and dropped by the
+    scatter."""
+    sl, valid, host = ints[:, 0], ints[:, 1] > 0, ints[:, 2]
+    u, v, idepth, prior, energy_th = (floats[:, 0], floats[:, 1],
+                                      floats[:, 2], floats[:, 3],
+                                      floats[:, 4])
+    color, weights = floats[:, 5:13], floats[:, 13:21]
     P = W.P
     sl = jnp.where(valid, sl, P)  # out-of-range -> dropped
     m = "drop"
@@ -152,6 +159,27 @@ def _drop_points_dev(W: Window, pt_mask):
 @jax.jit
 def _boost_prior_dev(W: Window, pt_mask, fac):
     return W._replace(pt_prior=jnp.where(pt_mask, W.pt_prior * fac, W.pt_prior))
+
+
+@jax.jit
+def _marg_points_dev(W: Window, pt_mask, fac):
+    """Point marginalization as ONE device program: boost the idepth prior,
+    mode-2 accumulate + Schur for the flagged points, drop them. Returns
+    (W_after, packed) with packed = [H (n,n); b; (nres, 0...)] so the host
+    pays a single transfer (marginalizePointsF, EnergyFunctional.cc:165-222
+    collapsed; eager sub-calls each cost a tunnel round-trip)."""
+    Wb = _boost_prior_dev(W, pt_mask, fac)
+    H, b, nres = ba.accumulate_marg(Wb, pt_mask)
+    n = H.shape[0]
+    tail = jnp.zeros((1, n), jnp.float32).at[0, 0].set(nres.astype(jnp.float32))
+    packed = jnp.concatenate([H, b[None, :], tail], axis=0)
+    return _drop_points_dev(Wb, pt_mask), packed
+
+
+@jax.jit
+def _marg_frame_inputs(W: Window, idx):
+    """[prior(8), state_delta(8)] of one frame slot in one >=64B pull."""
+    return jnp.concatenate([W.prior[idx], (W.state[idx, :8] - 0.0)])
 
 
 def _round_up_pow2(n: int, lo: int = 64) -> int:
@@ -235,10 +263,11 @@ class EnergyFunctional:
             HM = HM[np.ix_(order, order)]
             bM = bM[order]
 
-        # add the frame prior before marginalizing (:104-106)
-        W = self.W
-        prior = np.asarray(W.prior[idx], np.float64)
-        delta_prior = np.asarray((W.state - 0.0)[idx, :8], np.float64)
+        # add the frame prior before marginalizing (:104-106); one fused
+        # pull instead of two eager tiny ones (tunnel round-trips)
+        from ldso_tpu.utils.transfer import device_get
+        pd = device_get(_marg_frame_inputs(self.W, jnp.int32(idx))).astype(np.float64)
+        prior, delta_prior = pd[:8], pd[8:]
         HM[ndim:, ndim:][np.diag_indices(8)] += prior
         bM[ndim:] += prior * delta_prior
 
@@ -268,17 +297,13 @@ class EnergyFunctional:
         mask_np = np.asarray(pt_mask)
         if not mask_np.any():
             return
-        W = _boost_prior_dev(self.W, pt_mask,
-                             jnp.float32(self.cfg.idepth_fix_prior_marg_fac))
-        H, b, nres = ba.accumulate_marg(W, pt_mask)
+        self.W, packed = _marg_points_dev(
+            self.W, pt_mask, jnp.float32(self.cfg.idepth_fix_prior_marg_fac))
+        Hb = np.asarray(packed, np.float64)
         n = CPARS + 8 * self.n_frames
-        Hb = np.asarray(jnp.concatenate([H, b[None, :]], axis=0), np.float64)
-        self.HM += self.cfg.marg_weight_fac * Hb[:-1][:n, :n]
-        self.bM += self.cfg.marg_weight_fac * Hb[-1][:n]
-        from ldso_tpu.utils.transfer import device_get
-        self.res_in_m += int(device_get(nres))
-        # remove the points
-        self.W = _drop_points_dev(W, pt_mask)
+        self.HM += self.cfg.marg_weight_fac * Hb[:-2][:n, :n]
+        self.bM += self.cfg.marg_weight_fac * Hb[-2][:n]
+        self.res_in_m += int(Hb[-1, 0])
         self.pt_valid_np &= ~mask_np
 
     def insert_points(self, host_idx, u, v, color, weights, idepth,
@@ -293,21 +318,22 @@ class EnergyFunctional:
 
         # pad to a pow-2 bucket so the jitted inserter compiles O(log) times
         kb = _round_up_pow2(k)
-
-        def padf(a, dtype=np.float32):
-            a = np.asarray(a[:k], dtype)
-            pad_shape = (kb - k,) + a.shape[1:]
-            return jnp.asarray(np.concatenate(
-                [a, np.zeros(pad_shape, dtype)], axis=0))
-
         sl = np.full(kb, self.P, np.int32)
         sl[:k] = free[:k]
-        valid = np.arange(kb) < k
-        self.W = _insert_points_dev(
-            self.W, jnp.asarray(sl), jnp.asarray(valid),
-            padf(host, np.int32), padf(u), padf(v), padf(color),
-            padf(weights), padf(idepth),
-            jnp.full(kb, prior, jnp.float32), padf(energy_th))
+        ints = np.zeros((kb, 3), np.int32)
+        ints[:, 0] = sl
+        ints[:k, 1] = 1
+        ints[:k, 2] = host
+        floats = np.zeros((kb, 21), np.float32)
+        floats[:k, 0] = np.asarray(u[:k], np.float32)
+        floats[:k, 1] = np.asarray(v[:k], np.float32)
+        floats[:k, 2] = np.asarray(idepth[:k], np.float32)
+        floats[:k, 3] = prior
+        floats[:k, 4] = np.asarray(energy_th[:k], np.float32)
+        floats[:k, 5:13] = np.asarray(color[:k], np.float32)
+        floats[:k, 13:21] = np.asarray(weights[:k], np.float32)
+        self.W = _insert_points_dev(self.W, jnp.asarray(ints),
+                                    jnp.asarray(floats))
         self.pt_valid_np[free[:k]] = True
         self.pt_host_np[free[:k]] = host
         return free[:k]

@@ -36,7 +36,15 @@ IPS_SKIPPED = 3
 IPS_BADCONDITION = 4
 IPS_UNINITIALIZED = 5
 
-MAX_STEPS = 100
+MAX_STEPS = 100           # absolute cap (ImmaturePoint.cc:157 clamps at 100)
+
+
+def _steps_cap(W: int, H: int, cfg) -> int:
+    """Static bound on the epipolar step count: n_steps <= 2 + maxPixSearch /
+    stepsize (ImmaturePoint.cc:101-157), so the traced search loop doesn't
+    pay for 100 slots when geometry bounds it at ~62."""
+    return min(MAX_STEPS, int(2.0 + (W + H) * cfg.max_pix_search
+                              / cfg.trace_stepsize) + 2)
 
 # residual states (include/internal/Residuals.h)
 RES_IN = 0
@@ -169,7 +177,9 @@ def trace(pool: ImmaturePool, dI_target: jax.Array, KRKi: jax.Array,
     u_max = jnp.where(clipped, u_min + max_pix_search * dxn, u_max)
     v_max = jnp.where(clipped, v_min + max_pix_search * dyn, v_max)
     dist = jnp.minimum(dist, max_pix_search)
-    n_steps = jnp.minimum((1.9999 + dist / cfg.trace_stepsize).astype(jnp.int32), 99)
+    n_cap = _steps_cap(W, H, cfg)
+    n_steps = jnp.minimum((1.9999 + dist / cfg.trace_stepsize).astype(jnp.int32),
+                          n_cap - 1)
     bad_dir = ~jnp.isfinite(dxn) | ~jnp.isfinite(dyn)
     oob = oob | bad_dir
 
@@ -183,7 +193,7 @@ def trace(pool: ImmaturePool, dI_target: jax.Array, KRKi: jax.Array,
     ptx0 = u_min - rand_shift * dxn
     pty0 = v_min - rand_shift * dyn
 
-    steps = jnp.arange(MAX_STEPS, dtype=jnp.float32)
+    steps = jnp.arange(n_cap, dtype=jnp.float32)
     sx = ptx0[:, None] + steps[None, :] * dxn[:, None]              # (N,100)
     sy = pty0[:, None] + steps[None, :] * dyn[:, None]
     px = sx[:, :, None] + rot_patt[None, None, :, 0]                # (N,100,8)

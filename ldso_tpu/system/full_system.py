@@ -34,7 +34,7 @@ from ldso_tpu.backend import ba
 from ldso_tpu.backend.energy_functional import EnergyFunctional
 from ldso_tpu.backend.window import (RES_IN, RES_OOB, RES_OUTLIER,
                                      aff_g2l, current_poses)
-from ldso_tpu.frontend import affine, immature, initializer, tracker
+from ldso_tpu.frontend import immature, initializer, tracker
 from ldso_tpu.math import lie
 from ldso_tpu.ops import select as select_ops
 from ldso_tpu.ops.distance_map import distance_transform
@@ -42,6 +42,14 @@ from ldso_tpu.ops.interp import bilinear
 from ldso_tpu.ops.preprocess import FramePyramid, make_pyramid
 from ldso_tpu.utils.timing import StageTimer
 from ldso_tpu.slam_map import FrameShell, GlobalMap, MapPointRecord
+
+
+@jax.jit
+def _drop_frame_residuals(W, i):
+    return W._replace(
+        res_exist=W.res_exist.at[:, i].set(False),
+        res_active=W.res_active.at[:, i].set(False),
+    )
 
 
 @jax.jit
@@ -382,9 +390,10 @@ class FullSystem:
             tries = [np.eye(4)]
             aff_last = np.zeros(2)
 
-        min_abort = jnp.asarray(
-            np.where(np.isfinite(self.last_coarse_rmse),
-                     self.last_coarse_rmse, 1e9), jnp.float32)
+        # hypothesis 0 runs un-aborted (the reference's achievedRes starts
+        # at NaN, so early-abort only applies to retries:
+        # FullSystem.cc:189-203, CoarseTracker.cc:188-189)
+        no_abort = jnp.full((calib.levels,), 1e9, jnp.float32)
         coarsest = calib.levels - 1
         aff0 = jnp.asarray(aff_last, jnp.float32)
 
@@ -395,7 +404,7 @@ class FullSystem:
         nlv = calib.levels
         packed = np.asarray(tracker.track_frame_packed(
             self.tracker_ref, pyr, T0, aff0, jnp.float32(shell.exposure),
-            min_abort, calib, cfg, coarsest), np.float64)
+            no_abort, calib, cfg, coarsest), np.float64)
         T = packed[:16].reshape(4, 4)
         aff = packed[16:18]
         ok = packed[18] > 0.5
@@ -411,6 +420,11 @@ class FullSystem:
             or res0 < self.last_coarse_rmse[0] * cfg.re_track_threshold)
 
         if not retrack_ok and len(tries) > 1:
+            # retries abort per level at 1.5x the residual hypothesis 0
+            # achieved (the batched analogue of the reference's running
+            # achievedRes threshold)
+            min_abort = jnp.asarray(
+                np.where(np.isfinite(achieved), achieved, 1e9), jnp.float32)
             T_batch = jnp.asarray(np.stack(tries[1:]), jnp.float32)
             Tb, affb, okb, resb, flowb = tracker.track_frame_hypotheses(
                 self.tracker_ref, pyr, T_batch, aff0,
@@ -510,10 +524,12 @@ class FullSystem:
             n_act = int((pt_valid & (pt_host == i)).sum())
             n_in = n_imm + n_act
             n_out = getattr(fr, "_n_dead_points", 0)
-            rel = affine.from_to(newest.exposure, fr.exposure,
-                                 jnp.asarray(newest.aff), jnp.asarray(fr.aff))
+            # relative brightness factor on host (AffLight::fromToVecExposure
+            # semantics; eager device math here would pay a tunnel trip/frame)
+            rel_a = (np.exp(fr.aff[0] - newest.aff[0])
+                     * (fr.exposure or 1.0) / (newest.exposure or 1.0))
             if ((n_in < cfg.min_points_remaining * (n_in + n_out)
-                 or abs(np.log(float(rel[0]))) > cfg.max_log_aff_fac_in_window)
+                 or abs(np.log(rel_a)) > cfg.max_log_aff_fac_in_window)
                     and nf - flagged > cfg.min_frames):
                 flags[i] = True
                 flagged += 1
@@ -644,15 +660,18 @@ class FullSystem:
             new_id = act[..., 0]
             okn = (act[..., 1] > 0.5) & to_opt & (act[..., 2] >= 1)
             if okn.any():
+                # ONE batched insert across all host frames (insert_points
+                # takes a per-point host array; per-frame calls would pay
+                # the tunnel round-trip nf times)
                 data = np.asarray(immature.pool_insert_data(self.imm_stack))
-                for i in range(nf):
-                    sel = okn[i]
-                    if not sel.any():
-                        continue
-                    self.ef.insert_points(
-                        i, u=data[i, sel, 0], v=data[i, sel, 1],
-                        color=data[i, sel, 3:11], weights=data[i, sel, 11:19],
-                        idepth=new_id[i, sel], energy_th=data[i, sel, 2])
+                hosts, rows = np.nonzero(okn[:nf])
+                self.ef.insert_points(
+                    hosts.astype(np.int32),
+                    u=data[hosts, rows, 0], v=data[hosts, rows, 1],
+                    color=data[hosts, rows, 3:11],
+                    weights=data[hosts, rows, 11:19],
+                    idepth=new_id[hosts, rows],
+                    energy_th=data[hosts, rows, 2])
             # activated or failed-to-optimize candidates leave the pool
             remove = remove | to_opt
 
@@ -902,18 +921,14 @@ class FullSystem:
     def _marginalize_frame_full(self, i: int):
         """marginalizeFrame (:602-645): drop residuals targeting the frame,
         EF-marginalize it, compact host bookkeeping."""
-        W = self.ef.W
         # points hosted in this frame must already be dropped/marginalized
-        hosted = np.asarray(W.pt_valid) & (np.asarray(W.pt_host) == i)
+        # (host mirrors: no device pull needed)
+        hosted = self.ef.pt_valid_np & (self.ef.pt_host_np == i)
         if hosted.any():
             self._count_dead(hosted)
             self.ef.drop_points(jnp.asarray(hosted))
-            W = self.ef.W
-        # drop residuals targeting the frame
-        self.ef.W = W._replace(
-            res_exist=W.res_exist.at[:, i].set(False),
-            res_active=W.res_active.at[:, i].set(False),
-        )
+        # drop residuals targeting the frame (one fused dispatch)
+        self.ef.W = _drop_frame_residuals(self.ef.W, jnp.int32(i))
         self.ef.marginalize_frame(i)
         self.window_frames.pop(i)
         self.window_pyrs.pop(i)

@@ -40,8 +40,8 @@ class TestFullSystemVO:
                      desired_point_density=500, desired_immature_density=400)
         calib = default_calib(256, 192)
         scene = PlaneScene(freq_hi=25.0, contrast=80.0)
-        N = 28
-        poses = _make_sequence(N, calib, scene)
+        N = 48     # long enough to overflow the window -> frame/point
+        poses = _make_sequence(N, calib, scene)   # marginalization happens
 
         fs = FullSystem(calib, cfg)
         for i, T in enumerate(poses):
