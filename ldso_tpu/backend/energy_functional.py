@@ -79,6 +79,25 @@ def _finalize_linearization(W: Window) -> Window:
 
 
 @jax.jit
+def _insert_keyframe_dev(W: Window, dIs, i, T_cw, st, prior, exposure,
+                         inherit_th, dI0):
+    """Frame insertion + residual-slot creation + dI-stack update as one
+    program (was 3 dispatches per keyframe: _insert_frame_dev,
+    _add_residuals_dev, _set_dI)."""
+    W = _insert_frame_dev(W, i, T_cw, st, prior, exposure, inherit_th)
+    mask = W.pt_valid & (W.pt_host != i)
+    W = W._replace(
+        res_exist=W.res_exist.at[:, i].set(mask),
+        res_active=W.res_active.at[:, i].set(False),
+        res_linearized=W.res_linearized.at[:, i].set(False),
+        res_state=W.res_state.at[:, i].set(
+            jnp.where(mask, RES_IN, W.res_state[:, i])),
+        res_energy=W.res_energy.at[:, i].set(0.0),
+    )
+    return W, dIs.at[i].set(dI0)
+
+
+@jax.jit
 def _insert_frame_dev(W: Window, i, T_cw, st, prior, exposure, inherit_th):
     """All frame-insertion mutations in one dispatch."""
     th = jnp.where(inherit_th & (i > 0),
@@ -337,6 +356,33 @@ class EnergyFunctional:
         self.pt_valid_np[free[:k]] = True
         self.pt_host_np[free[:k]] = host
         return free[:k]
+
+    def insert_keyframe(self, T_cw, exposure, aff, dIs, dI0):
+        """insert_frame + add_residuals_to_frame + dI-stack update fused
+        into one dispatch. Returns (idx, new_dIs)."""
+        i = self.n_frames
+        assert i < self.F, "window capacity exceeded"
+        st = np.zeros(10, np.float32)
+        st[6] = aff[0] / SCALE_A
+        st[7] = aff[1] / SCALE_B
+        prior = np.zeros(8, np.float32)
+        prior[6] = (self.cfg.initial_aff_a_prior
+                    if self.cfg.affine_opt_mode_a < 0 else self.cfg.affine_opt_mode_a)
+        prior[7] = (self.cfg.initial_aff_b_prior
+                    if self.cfg.affine_opt_mode_b < 0 else self.cfg.affine_opt_mode_b)
+        self.W, dIs = _insert_keyframe_dev(
+            self.W, dIs, jnp.int32(i), jnp.asarray(T_cw, jnp.float32),
+            jnp.asarray(st), jnp.asarray(prior), jnp.float32(exposure),
+            jnp.asarray(True), dI0)
+        self.n_frames += 1
+        # grow HM/bM with zeros for the new frame block
+        n_old = self.HM.shape[0]
+        HM = np.zeros((n_old + 8, n_old + 8), np.float64)
+        HM[:n_old, :n_old] = self.HM
+        bM = np.zeros(n_old + 8, np.float64)
+        bM[:n_old] = self.bM
+        self.HM, self.bM = HM, bM
+        return i, dIs
 
     def add_residuals_to_frame(self, frame_idx: int):
         """Create residual slots from every active point to a (new) frame

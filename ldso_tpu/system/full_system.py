@@ -63,10 +63,21 @@ def _shift_dI(dIs, perm):
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "w1", "h1"))
-def _gate_candidates_stack(pools, KRKis, Kts, dist_map, min_act_dist,
+def _gate_candidates_fused(W, newest, pools, KRKis, Kts, min_act_dist,
                            marg_flags, cfg: Config, w1: int, h1: int):
-    """vmapped _gate_candidates over all frame slots; outputs packed into
-    one (F, cap, 3) float array for a single host pull."""
+    """Occupancy splat of active-point projections + chamfer distance map +
+    candidate gating, ONE program (was 2 dispatches + 1 pull + 1 eager map
+    build on the host: each leg pays a tunnel round-trip)."""
+    from ldso_tpu.ops.distance_map import distance_transform
+    cp = W.center_proj[:, newest]
+    ok = (W.pt_valid & W.res_exist[:, newest]
+          & jnp.isfinite(cp[:, 0]) & (cp[:, 2] > 0))
+    uu = (0.5 * cp[:, 0] - 0.25 + 0.5).astype(jnp.int32)
+    vv = (0.5 * cp[:, 1] - 0.25 + 0.5).astype(jnp.int32)
+    inb = ok & (uu > 0) & (vv > 0) & (uu < w1) & (vv < h1)
+    uu = jnp.where(inb, uu, w1)          # OOB scatter -> dropped
+    occ = jnp.zeros((h1, w1), bool).at[vv, uu].set(True, mode="drop")
+    dist_map = distance_transform(occ)
     to_opt, remove, idm = jax.vmap(
         lambda p, K, t, mf: _gate_candidates(p, K, t, dist_map, min_act_dist,
                                              mf, cfg, w1, h1)
@@ -592,20 +603,8 @@ class FullSystem:
         Ki0 = calib.Ki(0)
         T = self._window_poses()
 
-        # occupancy of currently active points projected into the newest KF:
-        # the BA already computed centerProjectedTo toward it (one pull)
-        cp = np.asarray(_occupancy_inputs(W, jnp.int32(newest_i)))
-        ok = cp[:, 3] > 0.5
-        # level-0 -> level-1 pixel coords (GlobalCalib halving convention)
-        uu = (0.5 * cp[ok, 0] - 0.25 + 0.5).astype(int)
-        vv = (0.5 * cp[ok, 1] - 0.25 + 0.5).astype(int)
-        inb = (uu > 0) & (vv > 0) & (uu < w1) & (vv < h1)
-        occ = np.zeros((h1, w1), bool)
-        occ[vv[inb], uu[inb]] = True
-        from ldso_tpu.ops.pallas_kernels import distance_transform_auto
-        dist_map = distance_transform_auto(jnp.asarray(occ))
-
-        # gate all slots in one dispatch + one pull
+        # occupancy splat + distance map + gating fused into one program
+        # using the BA's centerProjectedTo toward the newest KF (one pull)
         F = self.ef.F
         KRKis = np.tile(np.eye(3), (F, 1, 1))
         Kts = np.zeros((F, 3))
@@ -614,9 +613,9 @@ class FullSystem:
             KRKis[i] = K1 @ T_rel[:3, :3] @ Ki0
             Kts[i] = K1 @ T_rel[:3, 3]
         marg_flags = np.asarray(self.marg_flags + [True] * (F - nf))
-        gate = np.asarray(_gate_candidates_stack(
-            self.imm_stack, jnp.asarray(KRKis, jnp.float32),
-            jnp.asarray(Kts, jnp.float32), dist_map,
+        gate = np.asarray(_gate_candidates_fused(
+            W, jnp.int32(newest_i), self.imm_stack,
+            jnp.asarray(KRKis, jnp.float32), jnp.asarray(Kts, jnp.float32),
             jnp.float32(self.current_min_act_dist),
             jnp.asarray(marg_flags), cfg, w1, h1))
         to_opt = gate[..., 0] > 0.5                 # (F, cap)
@@ -706,17 +705,15 @@ class FullSystem:
 
         # insert frame + shell bookkeeping
         shell.kf_id = self.global_map.num_frames()
-        idx = self.ef.insert_frame(shell.T_cw, shell.exposure, shell.aff,
-                                   is_first=False)
+        # frame insert + residual slots + dI stack: one fused dispatch
+        # (the new frame inherits the previous newest's energy threshold
+        #  inside _insert_frame_dev; FullSystem.cc:476)
+        idx, self.dIs = self.ef.insert_keyframe(
+            shell.T_cw, shell.exposure, shell.aff, self.dIs, pyr.dI[0])
         self.window_frames.append(shell)
         self.window_pyrs.append(pyr)
         self.imm_live.append(False)
         self.marg_flags.append(False)
-        self.dIs = _set_dI(self.dIs, jnp.int32(idx), pyr.dI[0])
-        # (the new frame inherits the previous newest's energy threshold
-        #  inside _insert_frame_dev; FullSystem.cc:476)
-
-        self.ef.add_residuals_to_frame(idx)
         self._activate_points(shell, pyr)
 
         # ===== the windowed BA =====
