@@ -431,23 +431,43 @@ class FullSystem:
             or res0 < self.last_coarse_rmse[0] * cfg.re_track_threshold)
 
         if not retrack_ok and len(tries) > 1:
-            # retries abort per level at 1.5x the residual hypothesis 0
-            # achieved (the batched analogue of the reference's running
-            # achievedRes threshold)
-            min_abort = jnp.asarray(
-                np.where(np.isfinite(achieved), achieved, 1e9), jnp.float32)
-            T_batch = jnp.asarray(np.stack(tries[1:]), jnp.float32)
-            Tb, affb, okb, resb, flowb = tracker.track_frame_hypotheses(
-                self.tracker_ref, pyr, T_batch, aff0,
-                jnp.float32(shell.exposure), min_abort, calib, cfg, coarsest)
+            # retries run in fixed-size device chunks, earliest-first: the
+            # reference tries hypotheses sequentially and stops at the first
+            # usable one (FullSystem.cc:189-311) — nearly always within the
+            # first few — so a full 26-wide batch wastes ~8x the device time
+            # of the typical case. Per-level abort at 1.5x the residuals
+            # achieved so far (the running achievedRes threshold).
             from ldso_tpu.utils.transfer import device_get
-            okn = device_get(okb)
-            resn = np.asarray(resb, np.float64)
-            resn0 = np.where(okn & np.isfinite(resn[:, 0]), resn[:, 0], np.inf)
-            k = int(np.argmin(resn0))
-            if np.isfinite(resn0[k]) and (best is None or resn0[k] < res0):
-                best = (Tb[k], affb[k], resb[k], flowb[k])
-                achieved = resn[k]
+            CHUNK = 4
+            rest = tries[1:]
+            res_best = res0 if best is not None else np.inf
+            for c0 in range(0, len(rest), CHUNK):
+                chunk = rest[c0:c0 + CHUNK]
+                while len(chunk) < CHUNK:          # pad to one static shape
+                    chunk = chunk + [chunk[-1]]
+                min_abort = jnp.asarray(
+                    np.where(np.isfinite(achieved), achieved, 1e9), jnp.float32)
+                T_batch = jnp.asarray(np.stack(chunk), jnp.float32)
+                Tb, affb, okb, resb, flowb = tracker.track_frame_hypotheses(
+                    self.tracker_ref, pyr, T_batch, aff0,
+                    jnp.float32(shell.exposure), min_abort, calib, cfg,
+                    coarsest)
+                okn = device_get(okb)
+                resn = np.asarray(resb, np.float64)
+                resn0 = np.where(okn & np.isfinite(resn[:, 0]),
+                                 resn[:, 0], np.inf)
+                k = int(np.argmin(resn0))
+                if np.isfinite(resn0[k]) and resn0[k] < res_best:
+                    best = (Tb[k], affb[k], resb[k], flowb[k])
+                    achieved = resn[k]
+                    res_best = resn0[k]
+                # accept as soon as a hypothesis clears the retrack gate
+                # (trackingIsGood && res < lastRes * reTrackThreshold)
+                if best is not None and (
+                        not np.isfinite(self.last_coarse_rmse[0])
+                        or res_best < self.last_coarse_rmse[0]
+                        * cfg.re_track_threshold):
+                    break
 
         if best is None:
             # total failure: take the predicted pose and hope to recover
