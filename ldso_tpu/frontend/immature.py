@@ -121,24 +121,32 @@ def trace(pool: ImmaturePool, dI_target: jax.Array, KRKi: jax.Array,
     """Batched traceOn (ImmaturePoint.cc:47-310) against one new frame.
 
     KRKi: (3,3) = K R_target<-host K^-1; Kt: (3,) = K t; aff: (2,) relative
-    host->target brightness transfer."""
+    host->target brightness transfer. Each may also carry a leading
+    per-candidate axis ((N,3,3)/(N,3)/(N,2)) — the flat-arena path where
+    every candidate has its own host frame."""
     W, H = calib.w[0], calib.h[0]
     max_pix_search = (W + H) * cfg.max_pix_search
     patt = jnp.asarray(PATTERN, jnp.float32)
+    N = pool.u.shape[0]
+    if KRKi.ndim == 2:                       # shared-transform callers
+        KRKi = jnp.broadcast_to(KRKi, (N, 3, 3))
+        Kt = jnp.broadcast_to(Kt, (N, 3))
+        aff = jnp.broadcast_to(aff, (N, 2))
 
     sticky_oob = pool.status == IPS_OOB
     active = pool.valid & ~sticky_oob
 
     ones = jnp.ones_like(pool.u)
-    pr = jnp.stack([pool.u, pool.v, ones], -1) @ KRKi.T            # (N,3)
-    ptp_min = pr + Kt[None, :] * pool.idepth_min[:, None]
+    pr = jnp.einsum("nij,nj->ni",
+                    KRKi, jnp.stack([pool.u, pool.v, ones], -1))   # (N,3)
+    ptp_min = pr + Kt * pool.idepth_min[:, None]
     u_min = ptp_min[:, 0] / ptp_min[:, 2]
     v_min = ptp_min[:, 1] / ptp_min[:, 2]
     inb_min = (u_min > 4) & (v_min > 4) & (u_min < W - 5) & (v_min < H - 5)
 
     finite_max = jnp.isfinite(pool.idepth_max)
     id_max = jnp.where(finite_max, pool.idepth_max, 0.01)
-    ptp_max = pr + Kt[None, :] * id_max[:, None]
+    ptp_max = pr + Kt * id_max[:, None]
     u_max0 = ptp_max[:, 0] / ptp_max[:, 2]
     v_max0 = ptp_max[:, 1] / ptp_max[:, 2]
 
@@ -185,9 +193,9 @@ def trace(pool: ImmaturePool, dI_target: jax.Array, KRKi: jax.Array,
 
     do_search = active & ~oob & ~skipped & ~badcond
 
-    # rotated pattern (:159-166)
-    Rp = KRKi[:2, :2]
-    rot_patt = patt @ Rp.T                                          # (8,2)
+    # rotated pattern (:159-166), per candidate
+    Rp = KRKi[:, :2, :2]
+    rot_patt = jnp.einsum("pk,njk->npj", patt, Rp)                  # (N,8,2)
 
     rand_shift = u_min * 1000.0 - jnp.floor(u_min * 1000.0)
     ptx0 = u_min - rand_shift * dxn
@@ -196,10 +204,11 @@ def trace(pool: ImmaturePool, dI_target: jax.Array, KRKi: jax.Array,
     steps = jnp.arange(n_cap, dtype=jnp.float32)
     sx = ptx0[:, None] + steps[None, :] * dxn[:, None]              # (N,100)
     sy = pty0[:, None] + steps[None, :] * dyn[:, None]
-    px = sx[:, :, None] + rot_patt[None, None, :, 0]                # (N,100,8)
-    py = sy[:, :, None] + rot_patt[None, None, :, 1]
+    px = sx[:, :, None] + rot_patt[:, None, :, 0]                   # (N,S,8)
+    py = sy[:, :, None] + rot_patt[:, None, :, 1]
     hit = bilinear(dI_target, px, py)[..., 0]
-    res = hit - (aff[0] * pool.color[:, None, :] + aff[1])
+    res = hit - (aff[:, None, None, 0] * pool.color[:, None, :]
+                 + aff[:, None, None, 1])
     abs_r = jnp.abs(res)
     hw = jnp.where(abs_r < cfg.huber_th, 1.0, cfg.huber_th / jnp.maximum(abs_r, 1e-12))
     e_pix = jnp.where(jnp.isfinite(hit), hw * res * res * (2.0 - hw), 1e5)
@@ -220,11 +229,11 @@ def trace(pool: ImmaturePool, dI_target: jax.Array, KRKi: jax.Array,
 
     # GN refinement along the line (:223-275)
     def gn_energy_Hb(bu, bv):
-        gx = bu[:, None] + rot_patt[None, :, 0]
-        gy = bv[:, None] + rot_patt[None, :, 1]
+        gx = bu[:, None] + rot_patt[:, :, 0]
+        gy = bv[:, None] + rot_patt[:, :, 1]
         hc = bilinear(dI_target, gx, gy)                            # (N,8,3)
         finite = jnp.isfinite(hc[..., 0])
-        r = hc[..., 0] - (aff[0] * pool.color + aff[1])
+        r = hc[..., 0] - (aff[:, None, 0] * pool.color + aff[:, None, 1])
         d = dxn[:, None] * hc[..., 1] + dyn[:, None] * hc[..., 2]
         ar = jnp.abs(r)
         hw = jnp.where(ar < cfg.huber_th, 1.0, cfg.huber_th / jnp.maximum(ar, 1e-12))
@@ -276,9 +285,9 @@ def trace(pool: ImmaturePool, dI_target: jax.Array, KRKi: jax.Array,
     px_lo = jnp.where(use_x, best_u - error_px * dxn, best_v - error_px * dyn)
     px_hi = jnp.where(use_x, best_u + error_px * dxn, best_v + error_px * dyn)
     pr_a = jnp.where(use_x, pr[:, 0], pr[:, 1])
-    kt_a = jnp.where(use_x, Kt[0], Kt[1])
-    id_lo = (pr[:, 2] * px_lo - pr_a) / (kt_a - Kt[2] * px_lo)
-    id_hi = (pr[:, 2] * px_hi - pr_a) / (kt_a - Kt[2] * px_hi)
+    kt_a = jnp.where(use_x, Kt[:, 0], Kt[:, 1])
+    id_lo = (pr[:, 2] * px_lo - pr_a) / (kt_a - Kt[:, 2] * px_lo)
+    id_hi = (pr[:, 2] * px_hi - pr_a) / (kt_a - Kt[:, 2] * px_hi)
     new_min = jnp.minimum(id_lo, id_hi)
     new_max = jnp.maximum(id_lo, id_hi)
     interval_bad = (~jnp.isfinite(new_min)) | (~jnp.isfinite(new_max)) | (new_max < 0)
@@ -409,6 +418,114 @@ def activate_pools(stack: ImmaturePool, idepth0, cand_valid,
 
 
 # ---------------------------------------------------------------------------
+# flat candidate arena: ONE pool with a per-candidate host index
+# ---------------------------------------------------------------------------
+# The per-frame pool stack pays F x cap trace/gate/activate lanes while only
+# a few hundred candidates are live (measured 425 of 8192). The arena packs
+# all hosts' candidates into one (N,) pool + host (N,) int32, so every
+# batched program runs over ~4x fewer lanes. Slot allocation happens on
+# device (no host mirror or extra pull).
+
+class ImmatureArena(NamedTuple):
+    pool: ImmaturePool       # flat (N,) fields
+    host: jax.Array          # (N,) int32 window-slot of each candidate; -1 dead
+
+
+def empty_arena(N: int, cfg: Config) -> ImmatureArena:
+    z = lambda *sh: jnp.zeros((N,) + sh, jnp.float32)
+    pool = ImmaturePool(
+        u=z(), v=z(), valid=jnp.zeros(N, bool),
+        color=z(8), weights=z(8), gradH=z(2, 2),
+        idepth_min=z(), idepth_max=jnp.full(N, jnp.inf, jnp.float32),
+        quality=z(), energy_th=z(),
+        status=jnp.full(N, IPS_UNINITIALIZED, jnp.int32),
+        last_u=z(), last_v=z(), last_interval=z(),
+        my_type=jnp.zeros(N, jnp.int32))
+    return ImmatureArena(pool=pool, host=jnp.full(N, -1, jnp.int32))
+
+
+@jax.jit
+def arena_add(arena: ImmatureArena, new_pool: ImmaturePool, host_idx):
+    """Move a freshly selected per-KF pool into free arena slots. Allocation
+    is on-device: the k-th valid candidate goes to the k-th free slot;
+    overflow beyond capacity is dropped (the reference has no cap, but the
+    selector's density target bounds the live count in practice)."""
+    N = arena.host.shape[0]
+    cap = new_pool.u.shape[0]
+    free = jnp.nonzero(~arena.pool.valid, size=cap, fill_value=N)[0]
+    rank = jnp.cumsum(new_pool.valid.astype(jnp.int32)) - 1
+    slot = jnp.where(new_pool.valid, free[jnp.clip(rank, 0, cap - 1)], N)
+
+    def put(dst, src):
+        return dst.at[slot].set(src, mode="drop")
+
+    pool = ImmaturePool(*[put(d, s) for d, s in zip(arena.pool, new_pool)])
+    host = arena.host.at[slot].set(jnp.int32(host_idx), mode="drop")
+    return ImmatureArena(pool=pool, host=host)
+
+
+@functools.partial(jax.jit, static_argnames=("calib", "cfg"))
+def trace_arena(arena: ImmatureArena, dI_target: jax.Array, KRKis, Kts, affs,
+                calib: Calibration, cfg: Config) -> ImmatureArena:
+    """traceNewCoarse over the flat arena: per-candidate host->new transforms
+    gathered from the (F,...) tables, one dispatch, ~live-sized lanes."""
+    h = jnp.clip(arena.host, 0, KRKis.shape[0] - 1)
+    pool = arena.pool._replace(valid=arena.pool.valid & (arena.host >= 0))
+    traced = trace(pool, dI_target, KRKis[h], Kts[h], affs[h], calib, cfg)
+    return arena._replace(pool=traced._replace(valid=arena.pool.valid))
+
+
+@functools.partial(jax.jit, static_argnames=("F",))
+def arena_counts(arena: ImmatureArena, F: int):
+    """(F,) live-candidate counts per host slot."""
+    live = (arena.pool.valid & (arena.host >= 0)).astype(jnp.int32)
+    return jax.ops.segment_sum(live, jnp.clip(arena.host, 0, F - 1),
+                               num_segments=F)
+
+
+@jax.jit
+def arena_marg_shift(arena: ImmatureArena, idx):
+    """Host slot idx leaves the window: kill its candidates, renumber."""
+    valid = arena.pool.valid & (arena.host != idx)
+    host = jnp.where(arena.host > idx, arena.host - 1, arena.host)
+    return ImmatureArena(pool=arena.pool._replace(valid=valid), host=host)
+
+
+@jax.jit
+def arena_mask(arena: ImmatureArena, remove) -> ImmatureArena:
+    return arena._replace(
+        pool=arena.pool._replace(valid=arena.pool.valid & ~remove))
+
+
+@jax.jit
+def arena_insert_data(arena: ImmatureArena):
+    """(N, 20) packed [u, v, energy_th, color(8), weights(8), host] — one
+    pull feeds host-side point insertion."""
+    p = arena.pool
+    return jnp.concatenate([
+        p.u[:, None], p.v[:, None], p.energy_th[:, None],
+        p.color, p.weights, arena.host.astype(jnp.float32)[:, None]], axis=-1)
+
+
+@functools.partial(jax.jit, static_argnames=("calib", "cfg"))
+def activate_arena(arena: ImmatureArena, idepth0, cand_valid,
+                   Rs_all, ts_all, affs_all, target_masks, dIs,
+                   calib: Calibration, cfg: Config):
+    """Flat activation: depth-only LM for every gated candidate against all
+    window frames, with per-candidate host->target precalc gathered from the
+    (F, T, ...) tables. Output packed (N, 3) = [new idepth, ok, n_good]."""
+    h = jnp.clip(arena.host, 0, Rs_all.shape[0] - 1)
+    p = arena.pool
+    new_id, ok, n_good, _ = activate(
+        p.u, p.v, p.color, p.weights, p.energy_th, idepth0,
+        cand_valid & (arena.host >= 0),
+        Rs_all[h], ts_all[h], affs_all[h], target_masks[h],
+        dIs, calib, cfg)
+    return jnp.stack([new_id, ok.astype(jnp.float32),
+                      n_good.astype(jnp.float32)], axis=-1)
+
+
+# ---------------------------------------------------------------------------
 # activation (depth-only GN over all window frames)
 # ---------------------------------------------------------------------------
 
@@ -417,18 +534,26 @@ def linearize_depth_residual(u, v, color, weights, energy_th, idepth,
                              cfg: Config, outlier_slack):
     """One (point x target) depth-only residual (linearizeResidual,
     ImmaturePoint.cc:312-381). All args batched over points; R/t/affLL are
-    a single target's precalc. Returns (energy, Hdd, bd, state)."""
+    one target's precalc — shared ((3,3)/(3,)/(2,)) or per-candidate
+    ((N,3,3)/(N,3)/(N,2), the flat-arena path). Returns
+    (energy, Hdd, bd, state)."""
     fx, fy = calib.fx[0], calib.fy[0]
     cx, cy = calib.cx[0], calib.cy[0]
     W, H = calib.w[0], calib.h[0]
     patt = jnp.asarray(PATTERN, jnp.float32)
+    N = u.shape[0]
+    if R.ndim == 2:
+        R = jnp.broadcast_to(R, (N, 3, 3))
+        t = jnp.broadcast_to(t, (N, 3))
+        affLL = jnp.broadcast_to(affLL, (N, 2))
 
     # projectPoint with pattern offsets (ResidualProjections.h:58-86)
     KliP = jnp.stack([
         (u[:, None] + patt[None, :, 0] - cx) / fx,
         (v[:, None] + patt[None, :, 1] - cy) / fy,
         jnp.ones((u.shape[0], 8), jnp.float32)], axis=-1)           # (N,8,3)
-    ptp = jnp.einsum("ij,npj->npi", R, KliP) + t[None, None, :] * idepth[:, None, None]
+    ptp = (jnp.einsum("nij,npj->npi", R, KliP)
+           + t[:, None, :] * idepth[:, None, None])
     drescale = 1.0 / ptp[..., 2]
     new_idepth = idepth[:, None] * drescale
     uu = ptp[..., 0] * drescale
@@ -442,7 +567,7 @@ def linearize_depth_residual(u, v, color, weights, energy_th, idepth,
     pix_ok = inb & finite
     oob = ~jnp.all(pix_ok, axis=-1)
 
-    r = hit[..., 0] - (affLL[0] * color + affLL[1])
+    r = hit[..., 0] - (affLL[:, None, 0] * color + affLL[:, None, 1])
     ar = jnp.abs(r)
     hw = jnp.where(ar < cfg.huber_th, 1.0, cfg.huber_th / jnp.maximum(ar, 1e-12))
     w2 = weights * weights
@@ -450,8 +575,8 @@ def linearize_depth_residual(u, v, color, weights, energy_th, idepth,
 
     dxI = hit[..., 1] * fx
     dyI = hit[..., 2] * fy
-    d_id = (dxI * drescale * (t[0] - t[2] * uu)
-            + dyI * drescale * (t[1] - t[2] * vv))
+    d_id = (dxI * drescale * (t[:, 0:1] - t[:, 2:3] * uu)
+            + dyI * drescale * (t[:, 1:2] - t[:, 2:3] * vv))
     hww = hw * w2
     Hdd = jnp.sum(jnp.where(pix_ok, hww * d_id * d_id, 0.0), -1)
     bd = jnp.sum(jnp.where(pix_ok, hww * r * d_id, 0.0), -1)
@@ -472,16 +597,23 @@ def activate(u, v, color, weights, energy_th, idepth0, cand_valid,
 
     Rs (T,3,3), ts (T,3), affs (T,2): host->target precalc per window frame;
     target_mask (T,) marks real targets; dIs: (T,H,W,3) stacked pyramids
-    (level 0). Returns (idepth, ok, n_good_res, state (N,T))."""
-    T = Rs.shape[0]
+    (level 0). Per-candidate variants (N,T,...) are accepted too (the
+    flat-arena path). Returns (idepth, ok, n_good_res, state (N,T))."""
+    N = u.shape[0]
+    if Rs.ndim == 3:                       # shared tables -> per-candidate
+        Rs = jnp.broadcast_to(Rs, (N,) + Rs.shape)
+        ts = jnp.broadcast_to(ts, (N,) + ts.shape)
+        affs = jnp.broadcast_to(affs, (N,) + affs.shape)
+        target_mask = jnp.broadcast_to(target_mask, (N,) + target_mask.shape)
+    T = Rs.shape[1]
 
     def all_targets(idepth, slack):
         es, Hs, bs, sts = [], [], [], []
         for k in range(T):
             e, Hdd, bd, st = linearize_depth_residual(
                 u, v, color, weights, energy_th, idepth,
-                Rs[k], ts[k], affs[k], dIs[k], calib, cfg, slack)
-            live = target_mask[k]
+                Rs[:, k], ts[:, k], affs[:, k], dIs[k], calib, cfg, slack)
+            live = target_mask[:, k]
             es.append(jnp.where(live, e, 0.0))
             Hs.append(jnp.where(live, Hdd, 0.0))
             bs.append(jnp.where(live, bd, 0.0))
@@ -516,7 +648,7 @@ def activate(u, v, color, weights, energy_th, idepth0, cand_valid,
 
     carry = jax.lax.fori_loop(0, cfg.gn_its_on_point_activation, body, carry)
 
-    n_good = jnp.sum((carry["st"] == RES_IN) & target_mask[None, :], axis=-1)
+    n_good = jnp.sum((carry["st"] == RES_IN) & target_mask, axis=-1)
     ok = (cand_valid & jnp.isfinite(carry["e"]) & jnp.isfinite(carry["idepth"])
           & (carry["H"] >= cfg.min_idepth_h_act))
     return carry["idepth"], ok, n_good, carry["st"]

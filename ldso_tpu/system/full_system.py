@@ -63,11 +63,11 @@ def _shift_dI(dIs, perm):
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "w1", "h1"))
-def _gate_candidates_fused(W, newest, pools, KRKis, Kts, min_act_dist,
+def _gate_candidates_fused(W, newest, arena, KRKis, Kts, min_act_dist,
                            marg_flags, cfg: Config, w1: int, h1: int):
     """Occupancy splat of active-point projections + chamfer distance map +
-    candidate gating, ONE program (was 2 dispatches + 1 pull + 1 eager map
-    build on the host: each leg pays a tunnel round-trip)."""
+    flat-arena candidate gating, ONE program (was 2 dispatches + 1 pull +
+    an eager map build on the host: each leg pays a tunnel round-trip)."""
     from ldso_tpu.ops.distance_map import distance_transform
     cp = W.center_proj[:, newest]
     ok = (W.pt_valid & W.res_exist[:, newest]
@@ -78,12 +78,14 @@ def _gate_candidates_fused(W, newest, pools, KRKis, Kts, min_act_dist,
     uu = jnp.where(inb, uu, w1)          # OOB scatter -> dropped
     occ = jnp.zeros((h1, w1), bool).at[vv, uu].set(True, mode="drop")
     dist_map = distance_transform(occ)
-    to_opt, remove, idm = jax.vmap(
-        lambda p, K, t, mf: _gate_candidates(p, K, t, dist_map, min_act_dist,
-                                             mf, cfg, w1, h1)
-    )(pools, KRKis, Kts, marg_flags)
+    h = jnp.clip(arena.host, 0, KRKis.shape[0] - 1)
+    pool = arena.pool._replace(valid=arena.pool.valid & (arena.host >= 0))
+    to_opt, remove, idm = _gate_candidates(
+        pool, KRKis[h], Kts[h], dist_map, min_act_dist, marg_flags[h],
+        cfg, w1, h1)
     return jnp.stack([to_opt.astype(jnp.float32),
-                      remove.astype(jnp.float32), idm], axis=-1)
+                      remove.astype(jnp.float32), idm,
+                      arena.host.astype(jnp.float32)], axis=-1)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "w1", "h1"))
@@ -107,7 +109,12 @@ def _gate_candidates(pool, KRKi, Kt, dist_map, min_act_dist, marg_flag,
 
     idm = 0.5 * (jnp.where(finite_max, id_max, 0.0) + pool.idepth_min)
     ones = jnp.ones_like(pool.u)
-    p = jnp.stack([pool.u, pool.v, ones], -1) @ KRKi.T + Kt[None, :] * idm[:, None]
+    N = pool.u.shape[0]
+    if KRKi.ndim == 2:
+        KRKi = jnp.broadcast_to(KRKi, (N, 3, 3))
+        Kt = jnp.broadcast_to(Kt, (N, 3))
+    p = (jnp.einsum("nij,nj->ni", KRKi, jnp.stack([pool.u, pool.v, ones], -1))
+         + Kt * idm[:, None])
     z_ok = p[:, 2] > 1e-6
     zs = jnp.where(z_ok, p[:, 2], 1.0)
     uu = p[:, 0] / zs
@@ -240,8 +247,9 @@ class FullSystem:
         # immature candidates: ONE device stack over frame slots (no
         # per-frame re-stacking dispatches behind the TPU tunnel)
         self._imm_cap = cfg.max_immature
-        self.imm_stack = immature.empty_pool_stack(
-            self.ef.F, self._imm_cap, cfg)
+        # flat candidate arena: all hosts' candidates in one pool (~4x fewer
+        # lanes than an F x cap stack at typical occupancy)
+        self.imm_arena = immature.empty_arena(2 * cfg.max_immature, cfg)
         self.imm_live: List[bool] = []
         # persistent (F, H, W, 3) level-0 gradient-image buffer on device
         self.dIs = jnp.zeros((self.ef.F, calib.h[0], calib.w[0], 3),
@@ -531,8 +539,8 @@ class FullSystem:
             ef_, et_ = host.exposure or 1.0, shell.exposure or 1.0
             ra = np.exp(shell.aff[0] - host.aff[0]) * et_ / ef_
             affs[i] = (ra, shell.aff[1] - ra * host.aff[1])
-        self.imm_stack = immature.trace_pools(
-            self.imm_stack, pyr.dI[0],
+        self.imm_arena = immature.trace_arena(
+            self.imm_arena, pyr.dI[0],
             jnp.asarray(KRKis, jnp.float32), jnp.asarray(Kts, jnp.float32),
             jnp.asarray(affs, jnp.float32), calib, cfg)
 
@@ -546,7 +554,8 @@ class FullSystem:
 
         # immature counts: one (padded) pull for all pools
         from ldso_tpu.utils.transfer import device_get
-        imm_counts = device_get(immature.pool_counts(self.imm_stack))
+        imm_counts = device_get(immature.arena_counts(self.imm_arena,
+                                                       self.ef.F))
 
         newest = self.window_frames[-1]
         flagged = 0
@@ -634,25 +643,22 @@ class FullSystem:
             Kts[i] = K1 @ T_rel[:3, 3]
         marg_flags = np.asarray(self.marg_flags + [True] * (F - nf))
         gate = np.asarray(_gate_candidates_fused(
-            W, jnp.int32(newest_i), self.imm_stack,
+            W, jnp.int32(newest_i), self.imm_arena,
             jnp.asarray(KRKis, jnp.float32), jnp.asarray(Kts, jnp.float32),
             jnp.float32(self.current_min_act_dist),
             jnp.asarray(marg_flags), cfg, w1, h1))
-        to_opt = gate[..., 0] > 0.5                 # (F, cap)
-        remove = gate[..., 1] > 0.5
-        idm = gate[..., 2]
+        to_opt = gate[:, 0] > 0.5                   # (N,) flat arena
+        remove = gate[:, 1] > 0.5
+        idm = gate[:, 2]
+        hostc = gate[:, 3].astype(np.int32)
         # the newest frame hosts no candidates yet; be safe anyway
-        to_opt[newest_i] = False
-        for i in range(nf):
-            if not self.imm_live[i]:
-                to_opt[i] = False
-                remove[i] = False
-        for i in range(nf, F):
-            to_opt[i] = False
-            remove[i] = False
+        sane = (hostc >= 0) & (hostc < nf) & (hostc != newest_i)
+        to_opt &= sane
+        remove &= (hostc >= 0) & (hostc < nf)
 
         if to_opt.any():
-            # batched activation: every (host, candidate) in one dispatch
+            # batched activation: every gated candidate against all window
+            # frames in one dispatch, host->target precalc per candidate
             Rs = np.tile(np.eye(3), (F, F, 1, 1))
             ts = np.zeros((F, F, 3))
             affs_a = np.tile(np.array([1.0, 0.0]), (F, F, 1))
@@ -670,38 +676,35 @@ class FullSystem:
                     ra = np.exp(fj.aff[0] - fi.aff[0]) * et_ / ef_
                     affs_a[i, j] = (ra, fj.aff[1] - ra * fi.aff[1])
                     masks[i, j] = True
-            act = np.asarray(immature.activate_pools(
-                self.imm_stack, jnp.asarray(idm, jnp.float32),
+            act = np.asarray(immature.activate_arena(
+                self.imm_arena, jnp.asarray(idm, jnp.float32),
                 jnp.asarray(to_opt),
                 jnp.asarray(Rs, jnp.float32), jnp.asarray(ts, jnp.float32),
                 jnp.asarray(affs_a, jnp.float32), jnp.asarray(masks),
                 self._dIs_stack(), calib, cfg))
-            new_id = act[..., 0]
-            okn = (act[..., 1] > 0.5) & to_opt & (act[..., 2] >= 1)
+            new_id = act[:, 0]
+            okn = (act[:, 1] > 0.5) & to_opt & (act[:, 2] >= 1)
             if okn.any():
                 # ONE batched insert across all host frames (insert_points
                 # takes a per-point host array; per-frame calls would pay
                 # the tunnel round-trip nf times)
-                data = np.asarray(immature.pool_insert_data(self.imm_stack))
-                hosts, rows = np.nonzero(okn[:nf])
+                data = np.asarray(immature.arena_insert_data(self.imm_arena))
+                rows = np.nonzero(okn)[0]
                 self.ef.insert_points(
-                    hosts.astype(np.int32),
-                    u=data[hosts, rows, 0], v=data[hosts, rows, 1],
-                    color=data[hosts, rows, 3:11],
-                    weights=data[hosts, rows, 11:19],
-                    idepth=new_id[hosts, rows],
-                    energy_th=data[hosts, rows, 2])
+                    hostc[rows],
+                    u=data[rows, 0], v=data[rows, 1],
+                    color=data[rows, 3:11], weights=data[rows, 11:19],
+                    idepth=new_id[rows], energy_th=data[rows, 2])
             # activated or failed-to-optimize candidates leave the pool
             remove = remove | to_opt
 
         if remove.any():
-            self.imm_stack = immature.mask_pool_all(
-                self.imm_stack, jnp.asarray(remove))
-            for i in range(nf):
-                n_rm = int(remove[i].sum())
-                if n_rm and self.imm_live[i]:
+            self.imm_arena = immature.arena_mask(
+                self.imm_arena, jnp.asarray(remove))
+            for i, n_rm in zip(*np.unique(hostc[remove], return_counts=True)):
+                if 0 <= i < nf and self.imm_live[i]:
                     fr = self.window_frames[i]
-                    fr._n_dead_points = getattr(fr, "_n_dead_points", 0) + n_rm
+                    fr._n_dead_points = getattr(fr, "_n_dead_points", 0) + int(n_rm)
 
     def _flag_points_for_removal(self):
         """flagPointsForRemoval (:1208-1270). Returns (drop_mask, marg_mask);
@@ -931,8 +934,8 @@ class FullSystem:
             status, n = self.selector.make_maps(pyr,
                                                 cfg.desired_immature_density)
         pool = immature.make_pool(status, pyr.dI[0], self._imm_cap, cfg)
-        self.imm_stack = immature.set_pool_slot(self.imm_stack,
-                                                jnp.int32(idx), pool)
+        self.imm_arena = immature.arena_add(self.imm_arena, pool,
+                                            jnp.int32(idx))
         self.imm_live[idx] = True
 
     def _marginalize_frame_full(self, i: int):
@@ -954,7 +957,8 @@ class FullSystem:
         F = self.ef.F
         perm = jnp.asarray(np.concatenate(
             [np.arange(i), np.arange(i + 1, F), [i]]).astype(np.int32))
-        self.imm_stack = immature.shift_pool_slot_out(self.imm_stack, perm)
+        self.imm_arena = immature.arena_marg_shift(self.imm_arena,
+                                                   jnp.int32(i))
         self.dIs = _shift_dI(self.dIs, perm)
 
     # ------------------------------------------------------------------ output

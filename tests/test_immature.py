@@ -145,3 +145,92 @@ class TestActivate:
 
 if __name__ == "__main__":
     pytest.main([__file__, "-q", "-x"])
+
+
+class TestArena:
+    """Flat candidate arena: allocation, host gathers, marginalization."""
+
+    def _mini_pool(self, n_valid, cap=8, seed=0):
+        import jax.numpy as jnp
+        from ldso_tpu.frontend import immature
+        rng = np.random.RandomState(seed)
+        z = lambda *s: jnp.asarray(rng.rand(cap, *s).astype(np.float32))
+        valid = jnp.asarray(np.arange(cap) < n_valid)
+        return immature.ImmaturePool(
+            u=z(), v=z(), valid=valid, color=z(8), weights=z(8),
+            gradH=z(2, 2), idepth_min=z(),
+            idepth_max=jnp.full(cap, np.inf, jnp.float32),
+            quality=z(), energy_th=z(),
+            status=jnp.full(cap, immature.IPS_UNINITIALIZED, jnp.int32),
+            last_u=z(), last_v=z(), last_interval=z(),
+            my_type=jnp.ones(cap, jnp.int32))
+
+    def test_add_counts_and_shift(self):
+        import jax.numpy as jnp
+        from ldso_tpu.config import Config
+        from ldso_tpu.frontend import immature
+        cfg = Config()
+        arena = immature.empty_arena(32, cfg)
+        arena = immature.arena_add(arena, self._mini_pool(5, seed=1), 0)
+        arena = immature.arena_add(arena, self._mini_pool(3, seed=2), 2)
+        counts = np.asarray(immature.arena_counts(arena, 4))
+        np.testing.assert_array_equal(counts, [5, 0, 3, 0])
+        # marginalize slot 0: its candidates die, host 2 renumbers to 1
+        arena = immature.arena_marg_shift(arena, jnp.int32(0))
+        counts = np.asarray(immature.arena_counts(arena, 4))
+        np.testing.assert_array_equal(counts, [0, 3, 0, 0])
+
+    def test_overflow_drops(self):
+        from ldso_tpu.config import Config
+        from ldso_tpu.frontend import immature
+        cfg = Config()
+        arena = immature.empty_arena(6, cfg)
+        arena = immature.arena_add(arena, self._mini_pool(5, seed=1), 0)
+        arena = immature.arena_add(arena, self._mini_pool(4, seed=2), 1)
+        counts = np.asarray(immature.arena_counts(arena, 2))
+        assert counts[0] == 5 and counts[1] == 1  # overflow dropped, no alias
+
+    def test_trace_arena_matches_shared(self):
+        """Per-candidate-transform trace == shared-transform trace when all
+        candidates share one host."""
+        import jax.numpy as jnp
+        from ldso_tpu.config import Config
+        from ldso_tpu.frontend import immature
+        from ldso_tpu.synthetic import PlaneScene, default_calib
+        from ldso_tpu.ops.preprocess import make_pyramid
+        from ldso_tpu.math import lie
+        cfg = Config()
+        calib = default_calib(128, 96)
+        scene = PlaneScene(freq_hi=25.0, contrast=80.0)
+        img0, _ = scene.render(calib, jnp.eye(4, dtype=jnp.float32))
+        T1 = np.asarray(lie.se3_exp(jnp.asarray(
+            [0.05, 0.0, 0.01, 0.0, 0.01, 0.0], jnp.float32)))
+        img1, _ = scene.render(calib, jnp.asarray(T1, jnp.float32))
+        pyr0 = make_pyramid(img0, calib.levels)
+        pyr1 = make_pyramid(img1, calib.levels)
+        status = np.zeros((96, 128), np.int32)
+        rng = np.random.RandomState(0)
+        status[rng.randint(10, 86, 50), rng.randint(10, 118, 50)] = 1
+        pool = immature.make_pool(jnp.asarray(status), pyr0.dI[0], 64, cfg)
+        K = calib.K(0)
+        Ki = calib.Ki(0)
+        KRKi = jnp.asarray(K @ T1[:3, :3] @ Ki, jnp.float32)
+        Kt = jnp.asarray(K @ T1[:3, 3], jnp.float32)
+        aff = jnp.asarray([1.0, 0.0], jnp.float32)
+        ref = immature.trace(pool, pyr1.dI[0], KRKi, Kt, aff, calib, cfg)
+
+        arena = immature.empty_arena(64, cfg)
+        arena = immature.arena_add(arena, pool, 0)
+        KRKis = jnp.stack([KRKi, jnp.eye(3, dtype=jnp.float32)])
+        Kts = jnp.stack([Kt, jnp.zeros(3, jnp.float32)])
+        affs = jnp.stack([aff, aff])
+        out = immature.trace_arena(arena, pyr1.dI[0], KRKis, Kts, affs,
+                                   calib, cfg)
+        # arena_add packs valid candidates first, in order
+        nv = int(np.asarray(pool.valid).sum())
+        order = np.nonzero(np.asarray(pool.valid))[0]
+        np.testing.assert_allclose(np.asarray(out.pool.idepth_min)[:nv],
+                                   np.asarray(ref.idepth_min)[order],
+                                   rtol=1e-5)
+        np.testing.assert_array_equal(np.asarray(out.pool.status)[:nv],
+                                      np.asarray(ref.status)[order])
