@@ -133,7 +133,10 @@ def main():
     # lockstep through the tracking kernel — the TPU scaling axis ----------
     batched_fps = _bench_batched_tracking()
 
-    baseline_fps = 30.0  # CPU-LDSO real-time envelope (see module docstring)
+    # measured: reference LDSO built from source and run on this container's
+    # CPU (1x Xeon 2.10 GHz) over the SAME synthetic trajectory: 54.0 ms/f
+    # pure DSO (BASELINE.md "Measured reference numbers")
+    baseline_fps = 18.5
     print(json.dumps({
         "metric": "frames/sec synthetic 640x480 VO (full pipeline, preset 0)",
         "value": round(fps, 2),
