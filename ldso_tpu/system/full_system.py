@@ -44,6 +44,25 @@ from ldso_tpu.utils.timing import StageTimer
 from ldso_tpu.slam_map import FrameShell, GlobalMap, MapPointRecord
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "img_w", "img_h"))
+def _relin_fix_marg_dev(W, mask, dIs, cfg, img_w: int, img_h: int):
+    """Marg-candidate relinearize + FEJ fix (makeKeyFrame's pre-
+    marginalization pass, FullSystem.cc:497-529) as one program. Returns
+    (W, rec (P,4) = [u, v, idepth, idepth_hessian]) — the single pull
+    serves both the quality gate and point retirement records."""
+    relmask = W.res_exist & mask[:, None]
+    W = W._replace(
+        res_linearized=W.res_linearized & ~relmask,
+        res_state=jnp.where(relmask, RES_IN, W.res_state),
+        res_new_state=jnp.where(relmask, RES_OUTLIER, W.res_new_state),
+    )
+    W, _ = ba.linearize_all(W, dIs, cfg, img_w, img_h)
+    W = ba.apply_res(W)
+    W = ba.fix_linearization(W, mask)
+    rec = jnp.stack([W.pt_u, W.pt_v, W.idepth, W.pt_idepth_hessian], axis=1)
+    return W, rec
+
+
 @jax.jit
 def _drop_frame_residuals(W, i):
     return W._replace(
@@ -759,26 +778,18 @@ class FullSystem:
 
         drop, marg_cand = self._flag_points_for_removal()
         if marg_cand.any():
-            # relinearize + FEJ-fix the residuals of marg candidates
-            mask = jnp.asarray(marg_cand)
-            W = self.ef.W
-            relmask = W.res_exist & mask[:, None]
-            W = W._replace(
-                res_linearized=W.res_linearized & ~relmask,
-                res_state=jnp.where(relmask, RES_IN, W.res_state),
-                res_new_state=jnp.where(relmask, RES_OUTLIER, W.res_new_state),
-            )
-            W, _ = ba.linearize_all(W, dIs, cfg, calib.w[0], calib.h[0])
-            W = ba.apply_res(W)
-            W = ba.fix_linearization(W, mask)
-            self.ef.W = W
+            # relinearize + FEJ-fix the marg candidates and return the
+            # quality gate + retirement record in ONE program + ONE pull
+            self.ef.W, rec = _relin_fix_marg_dev(
+                self.ef.W, jnp.asarray(marg_cand), dIs, cfg,
+                calib.w[0], calib.h[0])
+            rec = np.asarray(rec)
             # idepth-hessian quality gate: good -> marginalize, bad -> drop
-            idep_h = np.asarray(self.ef.W.pt_idepth_hessian)
-            good_h = idep_h > cfg.min_idepth_h_marg
+            good_h = rec[:, 3] > cfg.min_idepth_h_marg
             really_marg = marg_cand & good_h
             drop = drop | (marg_cand & ~good_h)
             if really_marg.any():
-                self._record_marginalized_points(really_marg)
+                self._record_retired(really_marg, rec)
                 self.ef.marginalize_points(jnp.asarray(really_marg), dIs)
         if drop.any():
             self._count_dead(drop)
@@ -857,6 +868,23 @@ class FullSystem:
         for h in hosts:
             if h < len(self.window_frames):
                 fr = self.window_frames[h]
+                fr._n_dead_points = getattr(fr, "_n_dead_points", 0) + 1
+
+    def _record_retired(self, mask: np.ndarray, rec: np.ndarray):
+        """Retire points using an already-pulled (P,4) [u,v,idepth,_] record
+        (no extra device round-trip)."""
+        calib = self.calib
+        hosts = self.ef.pt_host_np
+        fx, fy = calib.fx[0], calib.fy[0]
+        cx, cy = calib.cx[0], calib.cy[0]
+        for p in np.nonzero(mask)[0]:
+            h = hosts[p]
+            if h < len(self.window_frames):
+                fr = self.window_frames[h]
+                fr.map_points.append(MapPointRecord(
+                    host_kf_id=fr.kf_id,
+                    u=(rec[p, 0] - cx) / fx, v=(rec[p, 1] - cy) / fy,
+                    idepth=float(rec[p, 2])))
                 fr._n_dead_points = getattr(fr, "_n_dead_points", 0) + 1
 
     def _record_marginalized_points(self, mask: np.ndarray):
