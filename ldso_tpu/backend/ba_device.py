@@ -128,7 +128,9 @@ def _solve_dev(W: Window, HM, bM, lam, do_orth, cfg: Config):
     xs = xs + jnp.linalg.solve(Hs, r)
     x = SVecI * xs
 
-    N = _nullspaces_dev(W)
+    # pose + scale columns only (the reference's orthogonalize() inserts
+    # lastNullspaces_pose and _scale, not affine: EnergyFunctional.cc:687-689)
+    N = _nullspaces_dev(W)[:, jnp.array([0, 1, 2, 3, 4, 5, 8])]
     x_orth = _orthogonalize_dev(x, N, cfg.solver_mode_delta)
     x = jnp.where(do_orth, x_orth, x)
     x = jnp.where(jnp.isfinite(x), x, 0.0)

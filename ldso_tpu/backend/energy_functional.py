@@ -223,6 +223,7 @@ class EnergyFunctional:
         self.HM = np.zeros((CPARS, CPARS), np.float64)
         self.bM = np.zeros(CPARS, np.float64)
         self.res_in_a = 0
+        self.window_shells = []        # set by FullSystem (same list object)
         self.res_in_m = 0
         self.is_lost = False
         self.pt_valid_np = np.zeros(self.P, bool)
@@ -441,12 +442,36 @@ class EnergyFunctional:
         NNpiTS = 0.5 * (NNpiT + NNpiT.T)
         return vec - NNpiTS @ vec
 
+    def _orth_nullspaces(self) -> np.ndarray:
+        """Pose (6) + scale (1) nullspace columns — the set the reference's
+        orthogonalize() actually uses (EnergyFunctional.cc:687-689 inserts
+        only lastNullspaces_pose and _scale; affine has priors and is not a
+        gauge freedom)."""
+        N = self._nullspaces()
+        return N[:, [0, 1, 2, 3, 4, 5, 8]]
+
+    def _orthogonalize_system(self, H: np.ndarray, b: np.ndarray):
+        """b -= Q b; H -= Q H Q with Q = N (N^T N)^+ N^T
+        (EnergyFunctional::orthogonalize with a system argument,
+        EnergyFunctional.cc:685-717)."""
+        N = self._orth_nullspaces()
+        Nn = N / np.maximum(np.linalg.norm(N, axis=0, keepdims=True), 1e-12)
+        U, S, Vt = np.linalg.svd(Nn, full_matrices=False)
+        Sinv = np.where(S > self.cfg.solver_mode_delta * S.max(),
+                        1.0 / np.maximum(S, 1e-20), 0.0)
+        Npi = U * Sinv[None, :] @ Vt
+        Q = Nn @ Npi.T
+        Q = 0.5 * (Q + Q.T)
+        return H - Q @ H @ Q, b - Q @ b
+
     def solve_system(self, iteration: int, lam: float):
         """solveSystemF (EnergyFunctional.cc:240-351)."""
         cfg = self.cfg
         from ldso_tpu.config import (SOLVER_FIX_LAMBDA, SOLVER_USE_GN,
                                      SOLVER_ORTHOGONALIZE_X,
-                                     SOLVER_ORTHOGONALIZE_X_LATER)
+                                     SOLVER_ORTHOGONALIZE_X_LATER,
+                                     SOLVER_ORTHOGONALIZE_SYSTEM,
+                                     SOLVER_SVD, SOLVER_SVD_CUT7)
         if cfg.solver_mode & SOLVER_USE_GN:
             lam = 0.0
         if cfg.solver_mode & SOLVER_FIX_LAMBDA:
@@ -464,20 +489,52 @@ class EnergyFunctional:
         self.res_in_a = int(nresA)
 
         bM_top = self.bM + self.HM @ delta
-        HFinal = HL + self.HM + HA
-        bFinal = bL + bM_top + bA - bsc_n
         didx = np.diag_indices(n)
-        HFinal[didx] *= (1.0 + lam)
-        HFinal = HFinal - Hsc_n * (1.0 / (1.0 + lam))
+        if cfg.solver_mode & SOLVER_ORTHOGONALIZE_SYSTEM:
+            # orthogonalize the ACTIVE system before adding the marg prior
+            # (EnergyFunctional.cc:262-281); skipped while frame 0 (with its
+            # pose prior) is still in the window
+            HT = HL + HA - Hsc_n
+            bT = bL + bA - bsc_n
+            have_first = any(getattr(f, "kf_id", -1) == 0
+                             for f in getattr(self, "window_shells", []))
+            if not have_first:
+                HT, bT = self._orthogonalize_system(HT, bT)
+            HFinal = HT + self.HM
+            bFinal = bT + bM_top
+            HFinal[didx] *= (1.0 + lam)
+        else:
+            HFinal = HL + self.HM + HA
+            bFinal = bL + bM_top + bA - bsc_n
+            HFinal[didx] *= (1.0 + lam)
+            HFinal = HFinal - Hsc_n * (1.0 / (1.0 + lam))
 
-        SVecI = 1.0 / np.sqrt(np.diag(HFinal) + 10.0)
-        Hs = SVecI[:, None] * HFinal * SVecI[None, :]
-        bs = SVecI * bFinal
-        x = SVecI * np.linalg.solve(Hs, bs)
+        if cfg.solver_mode & SOLVER_SVD:
+            # scaled SVD solve with singular-value gating
+            # (EnergyFunctional.cc:296-324)
+            SVecI = 1.0 / np.sqrt(np.abs(np.diag(HFinal)) + 1e-12)
+            Hs = SVecI[:, None] * HFinal * SVecI[None, :]
+            bs = SVecI * bFinal
+            U, S, Vt = np.linalg.svd(Hs)
+            Ub = U.T @ bs
+            max_sv = S.max() if len(S) else 1.0
+            for i in range(len(Ub)):
+                if S[i] < cfg.solver_mode_delta * max_sv:
+                    Ub[i] = 0.0
+                if (cfg.solver_mode & SOLVER_SVD_CUT7) and i >= len(Ub) - 7:
+                    Ub[i] = 0.0
+                else:
+                    Ub[i] /= max(S[i], 1e-20)
+            x = SVecI * (Vt.T @ Ub)
+        else:
+            SVecI = 1.0 / np.sqrt(np.diag(HFinal) + 10.0)
+            Hs = SVecI[:, None] * HFinal * SVecI[None, :]
+            bs = SVecI * bFinal
+            x = SVecI * np.linalg.solve(Hs, bs)
 
         if (cfg.solver_mode & SOLVER_ORTHOGONALIZE_X) or (
                 iteration >= 2 and (cfg.solver_mode & SOLVER_ORTHOGONALIZE_X_LATER)):
-            x = self._orthogonalize(x, self._nullspaces(),
+            x = self._orthogonalize(x, self._orth_nullspaces(),
                                     cfg.solver_mode_delta)
 
         xf = np.zeros(CPARS + 8 * self.F, np.float32)

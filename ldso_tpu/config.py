@@ -50,10 +50,13 @@ SOLVER_SVD = 1
 SOLVER_ORTHOGONALIZE_SYSTEM = 2
 SOLVER_ORTHOGONALIZE_POINTMARG = 4
 SOLVER_ORTHOGONALIZE_FULL = 8
+SOLVER_SVD_CUT7 = 16
 SOLVER_REMOVE_POSEPRIOR = 32
 SOLVER_USE_GN = 64
 SOLVER_FIX_LAMBDA = 128
 SOLVER_ORTHOGONALIZE_X = 256
+SOLVER_MOMENTUM = 512          # accepted, not implemented (unused upstream)
+SOLVER_STEPMOMENTUM = 1024     # accepted, not implemented (unused upstream)
 SOLVER_ORTHOGONALIZE_X_LATER = 2048
 
 

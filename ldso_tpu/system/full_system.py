@@ -261,6 +261,7 @@ class FullSystem:
         self.all_frames: List[FrameShell] = []
         # window bookkeeping parallel to EF frame slots
         self.window_frames: List[FrameShell] = []
+        self.ef.window_shells = self.window_frames   # shared list object
         self.window_pyrs: List[FramePyramid] = []
         self.marg_flags: List[bool] = []
         # immature candidates: ONE device stack over frame slots (no

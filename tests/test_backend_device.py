@@ -55,3 +55,44 @@ class TestDeviceOptimize:
 
 if __name__ == "__main__":
     pytest.main([__file__, "-q", "-x"])
+
+
+class TestSolverModes:
+    def test_svd_mode_matches_ldlt(self):
+        """SOLVER_SVD (scaled SVD solve with sv gating) reaches the same
+        solution as the scaled LDLT path on a well-conditioned window."""
+        from ldso_tpu.config import (SOLVER_SVD, SOLVER_ORTHOGONALIZE_X,
+                                     SOLVER_FIX_LAMBDA)
+        res = {}
+        for mode in ("ldlt", "svd"):
+            ef, dIs, poses, idep0, calib, (w, h) = _build_ef(
+                pose_noise=2e-3, idepth_noise=0.05, n_pts=100)
+            solver = SOLVER_FIX_LAMBDA | SOLVER_ORTHOGONALIZE_X
+            if mode == "svd":
+                solver |= SOLVER_SVD
+            ef.cfg = dataclasses.replace(CFG, force_accept_step=False,
+                                         solver_mode=solver)
+            ef.optimize(dIs, 10, w, h)
+            T = np.asarray(current_poses(ef.W), np.float64)
+            res[mode] = T
+            assert not ef.is_lost
+        rel_a = res["ldlt"][2] @ np.linalg.inv(res["ldlt"][0])
+        rel_b = res["svd"][2] @ np.linalg.inv(res["svd"][0])
+        err = np.asarray(lie.se3_log(jnp.asarray(
+            np.linalg.inv(rel_a) @ rel_b)))
+        assert np.linalg.norm(err) < 1e-3, f"svd vs ldlt pose diff {err}"
+
+    def test_orthogonalize_system_mode_runs(self):
+        """SOLVER_ORTHOGONALIZE_SYSTEM path executes and still converges
+        (first frame present -> projection skipped; absent -> applied)."""
+        from ldso_tpu.config import (SOLVER_ORTHOGONALIZE_SYSTEM,
+                                     SOLVER_FIX_LAMBDA)
+        ef, dIs, poses, idep0, calib, (w, h) = _build_ef(
+            pose_noise=2e-3, idepth_noise=0.05, n_pts=100)
+        ef.cfg = dataclasses.replace(
+            CFG, force_accept_step=False,
+            solver_mode=SOLVER_FIX_LAMBDA | SOLVER_ORTHOGONALIZE_SYSTEM)
+        ef.window_shells = []          # no frame 0 -> projection active
+        rmse = ef.optimize(dIs, 10, w, h)
+        assert not ef.is_lost
+        assert np.isfinite(rmse)
