@@ -63,6 +63,54 @@ def _relin_fix_marg_dev(W, mask, dIs, cfg, img_w: int, img_h: int):
     return W, rec
 
 
+@functools.partial(jax.jit, static_argnames=("calib", "cfg", "coarsest"))
+def _frame_step(image, arena, ref, T0, aff0, exposure, last_rmse,
+                T_ref_cw, T_hosts, host_affs, host_expos, b_grad,
+                enable_trace, calib, cfg: Config, coarsest: int):
+    """The per-frame hot path as ONE device program: pyramid + coarse
+    tracking (hypothesis 0) + epipolar trace of the candidate arena against
+    the new frame, with the trace committed only when tracking clears the
+    retrack gate on device (otherwise the host runs retries and dispatches
+    the trace separately). One dispatch + one (async) pull per frame instead
+    of three dispatches + a blocking pull — the tunnel charges ~1 ms per
+    queued dispatch but ~28 ms per synchronous round-trip."""
+    from ldso_tpu.ops.preprocess import make_pyramid
+    pyr = make_pyramid(image, calib.levels, b_grad)
+
+    no_abort = jnp.full((calib.levels,), 1e9, jnp.float32)
+    T, aff, ok, res, flow = tracker.track_frame(
+        ref, pyr, T0, aff0, exposure, no_abort, calib, cfg, coarsest)
+
+    accept = ok & jnp.isfinite(res[0]) & (
+        ~jnp.isfinite(last_rmse[0]) | (res[0] < last_rmse[0]
+                                       * cfg.re_track_threshold))
+
+    # host->new transforms for the trace, from the tracked pose (on device)
+    K = jnp.zeros((3, 3), jnp.float32)
+    K = K.at[0, 0].set(calib.fx[0]).at[1, 1].set(calib.fy[0])
+    K = K.at[0, 2].set(calib.cx[0]).at[1, 2].set(calib.cy[0]).at[2, 2].set(1.0)
+    Ki = jnp.linalg.inv(K)
+    T_new_cw = T @ T_ref_cw                              # (4,4)
+    T_rel = jnp.einsum("ij,fjk->fik", T_new_cw,
+                       jnp.linalg.inv(T_hosts))          # (F,4,4)
+    KRKis = jnp.einsum("ij,fjk,kl->fil", K, T_rel[:, :3, :3], Ki)
+    Kts = jnp.einsum("ij,fj->fi", K, T_rel[:, :3, 3])
+    ra = jnp.exp(aff[0] - host_affs[:, 0]) * exposure / host_expos
+    affs = jnp.stack([ra, aff[1] - ra * host_affs[:, 1]], axis=-1)
+
+    do_trace = accept & enable_trace
+    arena_out = jax.lax.cond(
+        do_trace,
+        lambda a: immature.trace_arena(a, pyr.dI[0], KRKis, Kts, affs,
+                                       calib, cfg),
+        lambda a: a, arena)
+
+    packed = jnp.concatenate([
+        T.reshape(-1), aff, ok.astype(jnp.float32)[None],
+        do_trace.astype(jnp.float32)[None], res, flow])
+    return arena_out, pyr, packed
+
+
 @jax.jit
 def _drop_frame_residuals(W, i):
     return W._replace(
@@ -262,6 +310,8 @@ class FullSystem:
         # window bookkeeping parallel to EF frame slots
         self.window_frames: List[FrameShell] = []
         self.ef.window_shells = self.window_frames   # shared list object
+        self._traced_this_frame = False
+        self._frame_pyr: Optional[FramePyramid] = None
         self.window_pyrs: List[FramePyramid] = []
         self.marg_flags: List[bool] = []
         # immature candidates: ONE device stack over frame slots (no
@@ -313,18 +363,20 @@ class FullSystem:
             shell.pose_valid = False
             self.all_frames.append(shell)
             return shell
-        with self.timer.stage("pyramid"):
-            pyr = make_pyramid(jnp.asarray(image, jnp.float32),
-                               self.calib.levels, self.b_grad)
         self.all_frames.append(shell)
 
         if not self.initialized:
+            with self.timer.stage("pyramid"):
+                pyr = make_pyramid(jnp.asarray(image, jnp.float32),
+                                   self.calib.levels, self.b_grad)
             with self.timer.stage("initialize"):
                 self._do_initialize(shell, pyr)
             return shell
 
+        # pyramid + tracking + candidate trace fused into one dispatch
         with self.timer.stage("track"):
-            ok = self._track_new_coarse(shell, pyr)
+            ok = self._track_new_coarse(shell, image)
+        pyr = self._frame_pyr
         if not ok:
             self.is_lost = True
             return shell
@@ -410,9 +462,13 @@ class FullSystem:
         self.make_keyframe(shell, pyr)
 
     # ---------------------------------------------------------------- tracking
-    def _track_new_coarse(self, shell: FrameShell, pyr: FramePyramid) -> bool:
-        """trackNewCoarse (FullSystem.cc:179-382): try hypothesis 0 on device;
-        on failure, evaluate the remaining hypotheses as one vmapped batch."""
+    def _track_new_coarse(self, shell: FrameShell, image: np.ndarray,
+                          commit_trace: bool = True) -> bool:
+        """trackNewCoarse (FullSystem.cc:179-382) as the fused per-frame
+        megastep: pyramid + hypothesis 0 + device-gated candidate trace in
+        ONE dispatch with an async result pull; retry hypotheses run in
+        device chunks only when the gate fails. Sets self._frame_pyr and
+        self._traced_this_frame for the keyframe/non-keyframe paths."""
         cfg, calib = self.cfg, self.calib
         ref_shell = self.tracker_ref_shell
         lastF_T = ref_shell.T_cw
@@ -429,26 +485,44 @@ class FullSystem:
             tries = [np.eye(4)]
             aff_last = np.zeros(2)
 
-        # hypothesis 0 runs un-aborted (the reference's achievedRes starts
-        # at NaN, so early-abort only applies to retries:
-        # FullSystem.cc:189-203, CoarseTracker.cc:188-189)
-        no_abort = jnp.full((calib.levels,), 1e9, jnp.float32)
         coarsest = calib.levels - 1
         aff0 = jnp.asarray(aff_last, jnp.float32)
 
         best = None
-        # hypothesis 0 on its own (the common case: constant motion works);
-        # a single packed transfer brings back pose/aff/ok/res/flow
         T0 = jnp.asarray(tries[0], jnp.float32)
         nlv = calib.levels
-        packed = np.asarray(tracker.track_frame_packed(
-            self.tracker_ref, pyr, T0, aff0, jnp.float32(shell.exposure),
-            no_abort, calib, cfg, coarsest), np.float64)
+        F = self.ef.F
+        nf = len(self.window_frames)
+        T_hosts = np.tile(np.eye(4), (F, 1, 1))
+        host_affs = np.zeros((F, 2))
+        host_expos = np.ones(F)
+        for i, fr in enumerate(self.window_frames):
+            T_hosts[i] = fr.T_cw
+            host_affs[i] = fr.aff
+            host_expos[i] = fr.exposure or 1.0
+        arena_out, pyr, packed_dev = _frame_step(
+            jnp.asarray(image, jnp.float32), self.imm_arena,
+            self.tracker_ref, T0, aff0, jnp.float32(shell.exposure),
+            jnp.asarray(self.last_coarse_rmse[:nlv], jnp.float32),
+            jnp.asarray(ref_shell.T_cw, jnp.float32),
+            jnp.asarray(T_hosts, jnp.float32),
+            jnp.asarray(host_affs, jnp.float32),
+            jnp.asarray(host_expos, jnp.float32),
+            self.b_grad, jnp.asarray(commit_trace), calib, cfg, coarsest)
+        packed_dev.copy_to_host_async()   # overlap the pull with host work
+        self._frame_pyr = pyr
+        packed = np.asarray(packed_dev, np.float64)
         T = packed[:16].reshape(4, 4)
         aff = packed[16:18]
         ok = packed[18] > 0.5
-        res = packed[19:19 + nlv]
-        flow = packed[19 + nlv:22 + nlv]
+        accepted = packed[19] > 0.5
+        res = packed[20:20 + nlv]
+        flow = packed[20 + nlv:23 + nlv]
+        if accepted:
+            self.imm_arena = arena_out
+            self._traced_this_frame = True
+        else:
+            self._traced_this_frame = False
         res0 = float(res[0]) if np.isfinite(res[0]) else np.inf
         if ok and np.isfinite(res0):
             best = (T, aff, res, flow)
@@ -743,7 +817,9 @@ class FullSystem:
 
     def make_keyframe(self, shell: FrameShell, pyr: FramePyramid):
         cfg, calib = self.cfg, self.calib
-        self._trace_new_coarse(shell, pyr)
+        if not getattr(self, "_traced_this_frame", False):
+            self._trace_new_coarse(shell, pyr)
+        self._traced_this_frame = False
         self._flag_frames_for_marginalization()
 
         # insert frame + shell bookkeeping
@@ -853,7 +929,9 @@ class FullSystem:
                 self.loop_closing.run_pose_graph_if_needed()
 
     def make_non_keyframe(self, shell: FrameShell, pyr: FramePyramid):
-        self._trace_new_coarse(shell, pyr)
+        if not getattr(self, "_traced_this_frame", False):
+            self._trace_new_coarse(shell, pyr)
+        self._traced_this_frame = False
 
     def _remove_outliers(self):
         """Points with no remaining residuals -> dropped (:1402-1420)."""

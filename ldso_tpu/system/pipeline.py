@@ -58,10 +58,12 @@ class AsyncPipeline:
         from ldso_tpu.slam_map import FrameShell
 
         shell = FrameShell(id=frame_id, timestamp=timestamp, exposure=exposure)
-        pyr = make_pyramid(jnp.asarray(image, jnp.float32), fs.calib.levels,
-                           fs.b_grad)
         fs.all_frames.append(shell)
-        ok = fs._track_new_coarse(shell, pyr)
+        # fused pyramid+track; the trace commit stays with the mapping
+        # thread, which owns the candidate arena (tracking-side commits
+        # would race with mapping-side removals)
+        ok = fs._track_new_coarse(shell, image, commit_trace=False)
+        pyr = fs._frame_pyr
         if not ok:
             fs.is_lost = True
             return shell
