@@ -244,6 +244,9 @@ class EnergyFunctional:
         if is_first:
             prior[0:3] = self.cfg.initial_trans_prior
             prior[3:6] = self.cfg.initial_rot_prior
+            from ldso_tpu.config import SOLVER_REMOVE_POSEPRIOR
+            if self.cfg.solver_mode & SOLVER_REMOVE_POSEPRIOR:
+                prior[0:6] = 0.0      # FrameHessian::getPrior (:128-136)
             prior[6] = self.cfg.initial_aff_a_prior
             prior[7] = self.cfg.initial_aff_b_prior
         else:
@@ -321,8 +324,19 @@ class EnergyFunctional:
             self.W, pt_mask, jnp.float32(self.cfg.idepth_fix_prior_marg_fac))
         Hb = np.asarray(packed, np.float64)
         n = CPARS + 8 * self.n_frames
+        from ldso_tpu.config import (SOLVER_ORTHOGONALIZE_POINTMARG,
+                                     SOLVER_ORTHOGONALIZE_FULL)
+        if self.cfg.solver_mode & SOLVER_ORTHOGONALIZE_POINTMARG:
+            # project HM/bM against the nullspaces before absorbing the
+            # point system (EnergyFunctional.cc:205-212); skipped while the
+            # pose-prior-carrying first frame is in the window
+            if not any(getattr(f, "kf_id", -1) == 0
+                       for f in self.window_shells):
+                self.HM, self.bM = self._orthogonalize_system(self.HM, self.bM)
         self.HM += self.cfg.marg_weight_fac * Hb[:-2][:n, :n]
         self.bM += self.cfg.marg_weight_fac * Hb[-2][:n]
+        if self.cfg.solver_mode & SOLVER_ORTHOGONALIZE_FULL:
+            self.HM, self.bM = self._orthogonalize_system(self.HM, self.bM)
         self.res_in_m += int(Hb[-1, 0])
         self.pt_valid_np &= ~mask_np
 
@@ -334,7 +348,10 @@ class EnergyFunctional:
         free = np.nonzero(~self.pt_valid_np)[0]
         k = min(len(free), len(u))
         host = np.broadcast_to(np.asarray(host_idx, np.int32), (len(u),))[:k]
+        from ldso_tpu.config import SOLVER_REMOVE_POSEPRIOR
         prior = (self.cfg.idepth_fix_prior if has_depth_prior else 0.0)
+        if self.cfg.solver_mode & SOLVER_REMOVE_POSEPRIOR:
+            prior = 0.0     # PointHessian::takeData (PointHessian.h:111-115)
 
         # pad to a pow-2 bucket so the jitted inserter compiles O(log) times
         kb = _round_up_pow2(k)
@@ -606,10 +623,27 @@ class EnergyFunctional:
         self.W = ba.apply_res(self.W)
 
         lam = 1e-1
+        stepsize = 1.0
+        prev_x = None
+        from ldso_tpu.config import SOLVER_STEPMOMENTUM
         for iteration in range(max_iterations):
             self.W = ba.backup_state(self.W)
             self.solve_system(iteration, lam)
-            self.W, canbreak = ba.do_step(self.W, 1.0, 1.0, 1.0, 1.0, 1.0)
+            # step-direction momentum (FullSystem.cc:781-793): grow the step
+            # when successive increments align, shrink when they oppose
+            if (cfg.solver_mode & SOLVER_STEPMOMENTUM) and prev_x is not None:
+                inc = ((1e-20 + prev_x @ self.last_x)
+                       / (1e-20 + np.linalg.norm(prev_x)
+                          * np.linalg.norm(self.last_x)))
+                if np.isfinite(inc):
+                    if inc < 0 and stepsize > 1:
+                        stepsize = 1.0
+                    new_ss = np.exp(inc * 1.4)
+                    stepsize = float(np.clip(
+                        np.sqrt(np.sqrt(new_ss * stepsize ** 3)), 0.25, 2.0))
+            prev_x = self.last_x
+            self.W, canbreak = ba.do_step(self.W, stepsize, stepsize,
+                                          stepsize, stepsize, stepsize)
             canbreak = bool(device_get_scalar(canbreak))
 
             self.W, eP = ba.linearize_all(self.W, dIs, cfg, img_w, img_h)

@@ -96,3 +96,18 @@ class TestSolverModes:
         rmse = ef.optimize(dIs, 10, w, h)
         assert not ef.is_lost
         assert np.isfinite(rmse)
+
+    def test_stepmomentum_and_remove_poseprior_run(self):
+        """SOLVER_STEPMOMENTUM adapts the step size; SOLVER_REMOVE_POSEPRIOR
+        zeroes the idepth prior — both still converge."""
+        from ldso_tpu.config import (SOLVER_STEPMOMENTUM,
+                                     SOLVER_REMOVE_POSEPRIOR,
+                                     SOLVER_FIX_LAMBDA)
+        ef, dIs, poses, idep0, calib, (w, h) = _build_ef(
+            pose_noise=2e-3, idepth_noise=0.05, n_pts=100)
+        ef.cfg = dataclasses.replace(
+            CFG, force_accept_step=False,
+            solver_mode=(SOLVER_FIX_LAMBDA | SOLVER_STEPMOMENTUM
+                         | SOLVER_REMOVE_POSEPRIOR))
+        rmse = ef.optimize(dIs, 10, w, h)
+        assert not ef.is_lost and np.isfinite(rmse)
