@@ -251,6 +251,28 @@ def _flag_removal_device(W, marg_frame_targets, host_flagged, newest, prev):
     return drop, marg_cand
 
 
+@jax.jit
+def _post_ba_dev(W, marg_frame_targets, flags_dev, newest, prev):
+    """Post-BA bookkeeping as one program + one pull: drop zero-residual
+    points (removeOutliers, FullSystem.cc:1402-1420), decide point removal/
+    marginalization (flagPointsForRemoval), and return window poses + affine
+    states for the host shells — each of which previously paid its own
+    device round-trip."""
+    nres = jnp.sum(W.res_exist, axis=1)
+    dead = W.pt_valid & (nres == 0)
+    W = W._replace(pt_valid=W.pt_valid & ~dead)
+
+    host_flagged = flags_dev[jnp.minimum(W.pt_host, W.F - 1)]
+    drop, marg = _flag_removal_device(W, marg_frame_targets, host_flagged,
+                                      newest, prev)
+    poses = current_poses(W).reshape(-1)               # (F*16,)
+    affs = aff_g2l(W).reshape(-1)                      # (F*2,)
+    packed = jnp.concatenate([
+        poses, affs, dead.astype(jnp.float32), drop.astype(jnp.float32),
+        marg.astype(jnp.float32)])
+    return W, packed
+
+
 def _motion_hypotheses(lastF_2_slast, fh_2_slast):
     """The reference's ~27 retry initializations (FullSystem.cc:189-311).
     Pure host numpy — no device traffic on the per-frame path."""
@@ -670,7 +692,8 @@ class FullSystem:
 
         # distance-score marginalization when the window is full (:693-723)
         if nf - flagged >= cfg.max_frames:
-            T = self._window_poses()
+            # shells mirror the window poses between BAs — no device pull
+            T = [fr.T_cw for fr in self.window_frames]
             newest_kf_id = self.window_frames[-1].kf_id
             best_score, best_i = 1.0, -1
             for i, fr in enumerate(self.window_frames):
@@ -724,7 +747,7 @@ class FullSystem:
         w1, h1 = calib.w[1], calib.h[1]
         K1 = calib.K(1)
         Ki0 = calib.Ki(0)
-        T = self._window_poses()
+        T = [fr.T_cw for fr in self.window_frames]   # host mirrors, no pull
 
         # occupancy splat + distance map + gating fused into one program
         # using the BA's centerProjectedTo toward the newest KF (one pull)
@@ -849,11 +872,32 @@ class FullSystem:
         if self.is_lost:
             return
 
-        self._remove_outliers()
-        self._sync_shell_poses()
+        # post-BA: outlier drop + removal flags + pose/aff sync, one pull
+        nf = len(self.window_frames)
+        F = self.ef.F
+        marg_frame_targets = np.asarray(
+            [self.marg_flags[j] if j < nf else False for j in range(F)])
+        flags_dev = jnp.asarray(np.concatenate(
+            [np.asarray(self.marg_flags), np.zeros(F - nf, bool)]))
+        self.ef.W, packed = _post_ba_dev(
+            self.ef.W, jnp.asarray(marg_frame_targets), flags_dev,
+            jnp.int32(nf - 1), jnp.int32(nf - 2))
+        packed = np.asarray(packed, np.float64)
+        P = self.ef.P
+        T = packed[:F * 16].reshape(F, 4, 4)
+        A = packed[F * 16:F * 18].reshape(F, 2)
+        dead = packed[F * 18:F * 18 + P] > 0.5
+        drop = packed[F * 18 + P:F * 18 + 2 * P] > 0.5
+        marg_cand = packed[F * 18 + 2 * P:F * 18 + 3 * P] > 0.5
+        if dead.any():
+            self._count_dead(dead)
+            self.ef.pt_valid_np &= ~dead
+        for i, sh in enumerate(self.window_frames):
+            sh.T_cw = T[i].copy()
+            sh.aff = A[i].copy()
+            if sh.kf_id >= self.global_map.latest_optimized_kf_id:
+                sh.S_cw = sh.T_cw.copy()
         self._update_tracker_ref()
-
-        drop, marg_cand = self._flag_points_for_removal()
         if marg_cand.any():
             # relinearize + FEJ-fix the marg candidates and return the
             # quality gate + retirement record in ONE program + ONE pull
