@@ -28,7 +28,6 @@ from ldso_tpu.loop import posegraph
 from ldso_tpu.loop.database import KeyframeDatabase
 from ldso_tpu.loop.sim3_solver import refine_sim3, umeyama_ransac
 from ldso_tpu.loop.vocab import Vocabulary
-from ldso_tpu.math import lie
 from ldso_tpu.slam_map import FrameShell, GlobalMap
 
 MIN_SIM3_INLIERS = 12

@@ -35,7 +35,6 @@ from ldso_tpu.backend.energy_functional import EnergyFunctional
 from ldso_tpu.backend.window import (RES_IN, RES_OOB, RES_OUTLIER,
                                      aff_g2l, current_poses)
 from ldso_tpu.frontend import immature, initializer, tracker
-from ldso_tpu.math import lie
 from ldso_tpu.ops import select as select_ops
 from ldso_tpu.ops.distance_map import distance_transform
 from ldso_tpu.ops.interp import bilinear

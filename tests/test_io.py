@@ -127,6 +127,45 @@ class TestTrajectory:
 
 @pytest.mark.slow
 class TestCLI:
+    @pytest.mark.slow
+    def test_run_dso_kitti_end_to_end(self, tmp_path):
+        """Drive the KITTI CLI runner (mode=1, KITTI output format) on a
+        synthetic sequence laid out KITTI-style."""
+        calib = default_calib(192, 120)
+        scene = PlaneScene(freq_hi=25.0, contrast=80.0)
+        seq = tmp_path / "00"
+        (seq / "image_0").mkdir(parents=True)
+        poses = []
+        for i in range(14):
+            t = np.array([0.05 * i, 0.01 * i, 0.0, 0, 0, 0])
+            T = np.linalg.inv(np.asarray(lie.se3_exp(jnp.asarray(t))))
+            poses.append(T)
+            img, _ = scene.render(calib, jnp.asarray(T, jnp.float32))
+            Image.fromarray(np.asarray(img).astype(np.uint8)).save(
+                seq / "image_0" / f"{i:06d}.png")
+        with open(seq / "times.txt", "w") as f:
+            for i in range(14):
+                f.write(f"{i * 0.1:.6f}\n")
+        with open(seq / "camera.txt", "w") as f:
+            f.write(f"0.55 {0.55 * 192 / 120:.6f} {95.5 / 192:.6f} "
+                    f"{59.5 / 120:.6f} 0\n192 120\nnone\n192 120\n")
+        out = str(tmp_path / "res_kitti.txt")
+        env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH="/root/repo")
+        res = subprocess.run(
+            [sys.executable, "/root/repo/examples/run_dso_kitti.py",
+             f"files={seq}", f"calib={seq/'camera.txt'}", "preset=3",
+             "loopclosing=0", f"output={out}"],
+            capture_output=True, text=True, timeout=900, env=env)
+        assert res.returncode == 0, res.stderr[-3000:]
+        assert os.path.exists(out) and os.path.exists(out + ".noloop")
+        # KITTI format: one 'id r00 ... tz' line per keyframe
+        rows = [l.split() for l in open(out) if l.strip()]
+        assert len(rows) >= 3 and all(len(r) == 13 for r in rows)
+        M = np.array([float(x) for x in rows[-1][1:]]).reshape(3, 4)
+        # rotation block must be orthonormal
+        np.testing.assert_allclose(M[:3, :3] @ M[:3, :3].T, np.eye(3),
+                                   atol=1e-4)
+
     def test_run_dso_tum_mono_end_to_end(self, tmp_path):
         """Drive the actual CLI entry point on an on-disk synthetic dataset;
         the written trajectory must track ground truth."""
