@@ -111,9 +111,12 @@ def main():
     pipe.block_until_mapping_is_finished()
     piped_fps = n_meas / max(time.time() - t0, 1e-9)
 
-    # sanity: trajectory quality (similarity-aligned ATE)
-    est_ids = [f.id for f in fs.all_frames if f.pose_valid]
-    _, est = fs.trajectory()
+    # sanity: trajectory quality (similarity-aligned ATE) over the
+    # synchronous portion (the pipelined extension drops frames
+    # nondeterministically under load, exactly like the reference)
+    est_ids = [f.id for f in fs.all_frames if f.pose_valid and f.id < N]
+    est = [f.T_cw.copy() for f in fs.all_frames
+           if f.pose_valid and f.id < N]
     gt = [poses[i] for i in est_ids]
     est_c = np.stack([np.linalg.inv(T)[:3, 3] for T in est])
     gt_c = np.stack([np.linalg.inv(T)[:3, 3] for T in gt])

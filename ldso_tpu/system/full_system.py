@@ -259,7 +259,9 @@ def _post_ba_dev(W, marg_frame_targets, flags_dev, newest, prev):
     device round-trip."""
     nres = jnp.sum(W.res_exist, axis=1)
     dead = W.pt_valid & (nres == 0)
-    W = W._replace(pt_valid=W.pt_valid & ~dead)
+    W = W._replace(pt_valid=W.pt_valid & ~dead,
+                   res_exist=W.res_exist & ~dead[:, None],
+                   res_active=W.res_active & ~dead[:, None])
 
     host_flagged = flags_dev[jnp.minimum(W.pt_host, W.F - 1)]
     drop, marg = _flag_removal_device(W, marg_frame_targets, host_flagged,
