@@ -270,9 +270,11 @@ class EnergyFunctional:
         self.HM, self.bM = HM, bM
         return i
 
-    def marginalize_frame(self, idx: int):
+    def marginalize_frame(self, idx: int, pre_drop=None):
         """Schur-marginalize frame slot idx onto HM/bM and compact slots
-        (EnergyFunctional::marginalizeFrame, :72-151)."""
+        (EnergyFunctional::marginalizeFrame, :72-151). pre_drop: optional
+        point mask to drop in the same fused device program (points hosted
+        in the leaving frame)."""
         nf = self.n_frames
         odim = nf * 8 + CPARS
         ndim = odim - 8
@@ -307,8 +309,12 @@ class EnergyFunctional:
         self.HM = 0.5 * (HM_new + HM_new.T)
         self.bM = bM_new
 
-        # compact device frame slots: move idx..end left by one
-        self.W = _shift_frame_out(self.W, idx)
+        # drop hosted points + drop residuals targeting the frame + compact
+        # device frame slots, all in one dispatch
+        self.W = _marg_frame_mutations(
+            self.W,
+            pre_drop if pre_drop is not None
+            else jnp.zeros(self.P, bool), int(idx))
         self.n_frames -= 1
         self.pt_host_np = np.where(self.pt_host_np > idx,
                                    self.pt_host_np - 1, self.pt_host_np)
@@ -693,6 +699,18 @@ class EnergyFunctional:
 
 
 import functools
+
+
+@functools.partial(jax.jit, static_argnames=("idx",))
+def _marg_frame_mutations(W: Window, pre_drop, idx: int) -> Window:
+    """drop_points(pre_drop) + residual-column drop + _shift_frame_out as
+    one program (frame marginalization's device side)."""
+    W = _drop_points_dev(W, pre_drop)
+    W = W._replace(
+        res_exist=W.res_exist.at[:, idx].set(False),
+        res_active=W.res_active.at[:, idx].set(False),
+    )
+    return _shift_frame_out(W, idx)
 
 
 @functools.partial(jax.jit, static_argnames=("idx",))

@@ -444,6 +444,14 @@ def empty_arena(N: int, cfg: Config) -> ImmatureArena:
     return ImmatureArena(pool=pool, host=jnp.full(N, -1, jnp.int32))
 
 
+@functools.partial(jax.jit, static_argnames=("cap", "cfg"))
+def arena_add_from_status(arena: ImmatureArena, status_map, dI0,
+                          host_idx, cap: int, cfg: Config):
+    """make_pool + arena_add as one dispatch (the per-keyframe candidate
+    creation path)."""
+    return arena_add(arena, make_pool(status_map, dI0, cap, cfg), host_idx)
+
+
 @jax.jit
 def arena_add(arena: ImmatureArena, new_pool: ImmaturePool, host_idx):
     """Move a freshly selected per-KF pool into free arena slots. Allocation

@@ -241,7 +241,9 @@ class PixelSelector:
         if quotia < 0.95:
             status = _subsample(status, self.random_pattern,
                                 jnp.float32(quotia))
-            num_have = float(device_get((status != 0).sum()))
+            # the exact post-subsample count is only informational; the
+            # expected value avoids one device round-trip per keyframe
+            num_have = num_have * quotia
         self.current_potential = ideal
         return status, int(num_have)
 

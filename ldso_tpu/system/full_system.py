@@ -111,11 +111,9 @@ def _frame_step(image, arena, ref, T0, aff0, exposure, last_rmse,
 
 
 @jax.jit
-def _drop_frame_residuals(W, i):
-    return W._replace(
-        res_exist=W.res_exist.at[:, i].set(False),
-        res_active=W.res_active.at[:, i].set(False),
-    )
+def _marg_shift_dev(arena, dIs, i, perm):
+    """Arena host renumbering + dI-stack compaction, one dispatch."""
+    return immature.arena_marg_shift(arena, i), jnp.take(dIs, perm, axis=0)
 
 
 @jax.jit
@@ -152,6 +150,60 @@ def _gate_candidates_fused(W, newest, arena, KRKis, Kts, min_act_dist,
     return jnp.stack([to_opt.astype(jnp.float32),
                       remove.astype(jnp.float32), idm,
                       arena.host.astype(jnp.float32)], axis=-1)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "calib", "w1", "h1",
+                                               "newest", "nf"))
+def _activate_fused(W, arena, dIs, KRKis, Kts, Rs, ts, affs_a, masks,
+                    min_act_dist, marg_flags, cfg: Config, calib,
+                    w1: int, h1: int, newest: int, nf: int):
+    """The whole activation pass as ONE program + ONE pull
+    (activatePointsMT, FullSystem.cc:1052-1206): occupancy distance map +
+    candidate gating + batched depth-only LM + point insertion with
+    DEVICE-side slot allocation + arena cleanup. Returns
+    (W', arena', packed) with packed rows [slot, host, inserted?, removed?]
+    per arena lane — the single pull updates the host point mirrors and
+    per-frame dead-point counters."""
+    gate = _gate_candidates_fused(W, jnp.int32(newest), arena, KRKis, Kts,
+                                  min_act_dist, marg_flags, cfg, w1, h1)
+    to_opt = gate[:, 0] > 0.5
+    remove = gate[:, 1] > 0.5
+    idm = gate[:, 2]
+    hostc = arena.host
+    sane = (hostc >= 0) & (hostc < nf) & (hostc != newest)
+    to_opt = to_opt & sane
+    remove = remove & (hostc >= 0) & (hostc < nf)
+
+    act = immature.activate_arena(arena, idm, to_opt, Rs, ts, affs_a,
+                                  masks, dIs, calib, cfg)
+    new_id = act[:, 0]
+    okn = (act[:, 1] > 0.5) & to_opt & (act[:, 2] >= 1)
+
+    # device-side slot allocation into the point pool (k-th ok candidate ->
+    # k-th free slot; overflow drops, as in EnergyFunctional.insert_points)
+    N = arena.host.shape[0]
+    P = W.P
+    free = jnp.nonzero(~W.pt_valid, size=N, fill_value=P)[0].astype(jnp.int32)
+    rank = jnp.cumsum(okn.astype(jnp.int32)) - 1
+    slot = jnp.where(okn, free[jnp.clip(rank, 0, N - 1)],
+                     jnp.int32(P)).astype(jnp.int32)
+    pl = arena.pool
+    ints = jnp.stack([slot, okn.astype(jnp.int32),
+                      jnp.maximum(hostc, 0).astype(jnp.int32)], axis=1)
+    floats = jnp.concatenate([
+        pl.u[:, None], pl.v[:, None], new_id[:, None],
+        jnp.zeros((N, 1), jnp.float32),            # idepth prior
+        pl.energy_th[:, None], pl.color, pl.weights], axis=1)
+    from ldso_tpu.backend.energy_functional import _insert_points_dev
+    W = _insert_points_dev(W, ints, floats)
+
+    remove = remove | to_opt
+    arena = immature.arena_mask(arena, remove)
+    packed = jnp.stack([slot.astype(jnp.float32),
+                        hostc.astype(jnp.float32),
+                        okn.astype(jnp.float32),
+                        remove.astype(jnp.float32)], axis=1)
+    return W, arena, packed
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "w1", "h1"))
@@ -750,8 +802,9 @@ class FullSystem:
         Ki0 = calib.Ki(0)
         T = [fr.T_cw for fr in self.window_frames]   # host mirrors, no pull
 
-        # occupancy splat + distance map + gating fused into one program
-        # using the BA's centerProjectedTo toward the newest KF (one pull)
+        # the WHOLE activation pass (gate + LM + insert + cleanup) is one
+        # device program with one pull; the host only prepares the per-pair
+        # precalc tables and the density policy above
         F = self.ef.F
         KRKis = np.tile(np.eye(3), (F, 1, 1))
         Kts = np.zeros((F, 3))
@@ -760,69 +813,43 @@ class FullSystem:
             KRKis[i] = K1 @ T_rel[:3, :3] @ Ki0
             Kts[i] = K1 @ T_rel[:3, 3]
         marg_flags = np.asarray(self.marg_flags + [True] * (F - nf))
-        gate = np.asarray(_gate_candidates_fused(
-            W, jnp.int32(newest_i), self.imm_arena,
+        Rs = np.tile(np.eye(3), (F, F, 1, 1))
+        ts = np.zeros((F, F, 3))
+        affs_a = np.tile(np.array([1.0, 0.0]), (F, F, 1))
+        masks = np.zeros((F, F), bool)
+        for i in range(nf):
+            fi = self.window_frames[i]
+            for j in range(nf):
+                if j == i:
+                    continue
+                T_ht = T[j] @ np.linalg.inv(T[i])
+                Rs[i, j] = T_ht[:3, :3]
+                ts[i, j] = T_ht[:3, 3]
+                fj = self.window_frames[j]
+                ef_, et_ = fi.exposure or 1.0, fj.exposure or 1.0
+                ra = np.exp(fj.aff[0] - fi.aff[0]) * et_ / ef_
+                affs_a[i, j] = (ra, fj.aff[1] - ra * fi.aff[1])
+                masks[i, j] = True
+
+        self.ef.W, self.imm_arena, packed = _activate_fused(
+            self.ef.W, self.imm_arena, self._dIs_stack(),
             jnp.asarray(KRKis, jnp.float32), jnp.asarray(Kts, jnp.float32),
-            jnp.float32(self.current_min_act_dist),
-            jnp.asarray(marg_flags), cfg, w1, h1))
-        to_opt = gate[:, 0] > 0.5                   # (N,) flat arena
-        remove = gate[:, 1] > 0.5
-        idm = gate[:, 2]
-        hostc = gate[:, 3].astype(np.int32)
-        # the newest frame hosts no candidates yet; be safe anyway
-        sane = (hostc >= 0) & (hostc < nf) & (hostc != newest_i)
-        to_opt &= sane
-        remove &= (hostc >= 0) & (hostc < nf)
-
-        if to_opt.any():
-            # batched activation: every gated candidate against all window
-            # frames in one dispatch, host->target precalc per candidate
-            Rs = np.tile(np.eye(3), (F, F, 1, 1))
-            ts = np.zeros((F, F, 3))
-            affs_a = np.tile(np.array([1.0, 0.0]), (F, F, 1))
-            masks = np.zeros((F, F), bool)
-            for i in range(nf):
-                fi = self.window_frames[i]
-                for j in range(nf):
-                    if j == i:
-                        continue
-                    T_ht = T[j] @ np.linalg.inv(T[i])
-                    Rs[i, j] = T_ht[:3, :3]
-                    ts[i, j] = T_ht[:3, 3]
-                    fj = self.window_frames[j]
-                    ef_, et_ = fi.exposure or 1.0, fj.exposure or 1.0
-                    ra = np.exp(fj.aff[0] - fi.aff[0]) * et_ / ef_
-                    affs_a[i, j] = (ra, fj.aff[1] - ra * fi.aff[1])
-                    masks[i, j] = True
-            act = np.asarray(immature.activate_arena(
-                self.imm_arena, jnp.asarray(idm, jnp.float32),
-                jnp.asarray(to_opt),
-                jnp.asarray(Rs, jnp.float32), jnp.asarray(ts, jnp.float32),
-                jnp.asarray(affs_a, jnp.float32), jnp.asarray(masks),
-                self._dIs_stack(), calib, cfg))
-            new_id = act[:, 0]
-            okn = (act[:, 1] > 0.5) & to_opt & (act[:, 2] >= 1)
-            if okn.any():
-                # ONE batched insert across all host frames (insert_points
-                # takes a per-point host array; per-frame calls would pay
-                # the tunnel round-trip nf times)
-                data = np.asarray(immature.arena_insert_data(self.imm_arena))
-                rows = np.nonzero(okn)[0]
-                self.ef.insert_points(
-                    hostc[rows],
-                    u=data[rows, 0], v=data[rows, 1],
-                    color=data[rows, 3:11], weights=data[rows, 11:19],
-                    idepth=new_id[rows], energy_th=data[rows, 2])
-            # activated or failed-to-optimize candidates leave the pool
-            remove = remove | to_opt
-
-        if remove.any():
-            self.imm_arena = immature.arena_mask(
-                self.imm_arena, jnp.asarray(remove))
-            for i, n_rm in zip(*np.unique(hostc[remove], return_counts=True)):
-                if 0 <= i < nf and self.imm_live[i]:
-                    fr = self.window_frames[i]
-                    fr._n_dead_points = getattr(fr, "_n_dead_points", 0) + int(n_rm)
+            jnp.asarray(Rs, jnp.float32), jnp.asarray(ts, jnp.float32),
+            jnp.asarray(affs_a, jnp.float32), jnp.asarray(masks),
+            jnp.float32(self.current_min_act_dist), jnp.asarray(marg_flags),
+            cfg, calib, w1, h1, newest_i, nf)
+        packed = np.asarray(packed)
+        slot = packed[:, 0].astype(np.int64)
+        hostc = packed[:, 1].astype(np.int64)
+        okn = packed[:, 2] > 0.5
+        removed = packed[:, 3] > 0.5
+        ins = okn & (slot < self.ef.P)
+        self.ef.pt_valid_np[slot[ins]] = True
+        self.ef.pt_host_np[slot[ins]] = hostc[ins]
+        for i, n_rm in zip(*np.unique(hostc[removed], return_counts=True)):
+            if 0 <= i < nf and self.imm_live[i]:
+                fr = self.window_frames[i]
+                fr._n_dead_points = getattr(fr, "_n_dead_points", 0) + int(n_rm)
 
     def _flag_points_for_removal(self):
         """flagPointsForRemoval (:1208-1270). Returns (drop_mask, marg_mask);
@@ -1085,23 +1112,25 @@ class FullSystem:
         else:
             status, n = self.selector.make_maps(pyr,
                                                 cfg.desired_immature_density)
-        pool = immature.make_pool(status, pyr.dI[0], self._imm_cap, cfg)
-        self.imm_arena = immature.arena_add(self.imm_arena, pool,
-                                            jnp.int32(idx))
+        self.imm_arena = immature.arena_add_from_status(
+            self.imm_arena, status, pyr.dI[0], jnp.int32(idx),
+            self._imm_cap, cfg)
         self.imm_live[idx] = True
 
     def _marginalize_frame_full(self, i: int):
         """marginalizeFrame (:602-645): drop residuals targeting the frame,
-        EF-marginalize it, compact host bookkeeping."""
+        EF-marginalize it, compact host bookkeeping. The device-side
+        mutations (hosted-point drop, residual drop, slot compaction of the
+        window/arena/dI stacks) run as ONE program; the host does the f64
+        Schur complement onto HM/bM in between (one >=64B pull)."""
         # points hosted in this frame must already be dropped/marginalized
         # (host mirrors: no device pull needed)
         hosted = self.ef.pt_valid_np & (self.ef.pt_host_np == i)
         if hosted.any():
             self._count_dead(hosted)
-            self.ef.drop_points(jnp.asarray(hosted))
-        # drop residuals targeting the frame (one fused dispatch)
-        self.ef.W = _drop_frame_residuals(self.ef.W, jnp.int32(i))
-        self.ef.marginalize_frame(i)
+            self.ef.pt_valid_np &= ~hosted
+        self.ef.marginalize_frame(
+            i, pre_drop=jnp.asarray(hosted) if hosted.any() else None)
         self.window_frames.pop(i)
         self.window_pyrs.pop(i)
         self.imm_live.pop(i)
@@ -1109,9 +1138,8 @@ class FullSystem:
         F = self.ef.F
         perm = jnp.asarray(np.concatenate(
             [np.arange(i), np.arange(i + 1, F), [i]]).astype(np.int32))
-        self.imm_arena = immature.arena_marg_shift(self.imm_arena,
-                                                   jnp.int32(i))
-        self.dIs = _shift_dI(self.dIs, perm)
+        self.imm_arena, self.dIs = _marg_shift_dev(
+            self.imm_arena, self.dIs, jnp.int32(i), perm)
 
     # ------------------------------------------------------------------ output
     def save_all(self, path: str):
