@@ -152,11 +152,10 @@ def _gate_candidates_fused(W, newest, arena, KRKis, Kts, min_act_dist,
                       arena.host.astype(jnp.float32)], axis=-1)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "calib", "w1", "h1",
-                                               "newest", "nf"))
+@functools.partial(jax.jit, static_argnames=("cfg", "calib", "w1", "h1"))
 def _activate_fused(W, arena, dIs, KRKis, Kts, Rs, ts, affs_a, masks,
-                    min_act_dist, marg_flags, cfg: Config, calib,
-                    w1: int, h1: int, newest: int, nf: int):
+                    min_act_dist, marg_flags, newest, nf,
+                    cfg: Config, calib, w1: int, h1: int):
     """The whole activation pass as ONE program + ONE pull
     (activatePointsMT, FullSystem.cc:1052-1206): occupancy distance map +
     candidate gating + batched depth-only LM + point insertion with
@@ -164,7 +163,7 @@ def _activate_fused(W, arena, dIs, KRKis, Kts, Rs, ts, affs_a, masks,
     (W', arena', packed) with packed rows [slot, host, inserted?, removed?]
     per arena lane — the single pull updates the host point mirrors and
     per-frame dead-point counters."""
-    gate = _gate_candidates_fused(W, jnp.int32(newest), arena, KRKis, Kts,
+    gate = _gate_candidates_fused(W, newest, arena, KRKis, Kts,
                                   min_act_dist, marg_flags, cfg, w1, h1)
     to_opt = gate[:, 0] > 0.5
     remove = gate[:, 1] > 0.5
@@ -837,7 +836,7 @@ class FullSystem:
             jnp.asarray(Rs, jnp.float32), jnp.asarray(ts, jnp.float32),
             jnp.asarray(affs_a, jnp.float32), jnp.asarray(masks),
             jnp.float32(self.current_min_act_dist), jnp.asarray(marg_flags),
-            cfg, calib, w1, h1, newest_i, nf)
+            jnp.int32(newest_i), jnp.int32(nf), cfg, calib, w1, h1)
         packed = np.asarray(packed)
         slot = packed[:, 0].astype(np.int64)
         hostc = packed[:, 1].astype(np.int64)
