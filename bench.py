@@ -9,10 +9,9 @@ the production Config: 2048-point pool, 7-KF window, 1500 candidates).
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "fps", "vs_baseline": N}
 
-Baseline: the reference is "real-time enforcing" on a commodity 6-thread
-CPU at 640x480 (preset 0; examples/run_dso_tum_mono.cc:44-88), i.e. ~30
-fps sensor rate — used as the denominator until the C++ reference is
-built and measured on the evaluation CPU (BASELINE.md TODO).
+Baseline: the reference, built from source and measured on this
+container's CPU over the SAME synthetic trajectory: 54.0 ms/frame =
+18.5 fps pure DSO (BASELINE.md "Measured reference numbers").
 """
 
 import json

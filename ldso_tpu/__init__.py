@@ -35,9 +35,17 @@ jax.config.update("jax_default_matmul_precision", "highest")
 # process after the first start in seconds.
 import os as _os  # noqa: E402
 
+# keyed by backend platform: executables AOT-compiled for another
+# platform/host feature set can SIGSEGV on (de)serialization — the CPU
+# backend here even crashes serializing its own executables, so the cache
+# is only worth it for the slow remote-compile TPU path.
+_platform_key = _os.environ.get("JAX_PLATFORMS", "auto").split(",")[0] or "auto"
 _cache_dir = _os.environ.get("LDSO_TPU_JAX_CACHE",
-                             _os.path.expanduser("~/.cache/ldso_tpu_jax"))
+                             _os.path.expanduser(
+                                 f"~/.cache/ldso_tpu_jax_{_platform_key}"))
 try:
+    if _os.environ.get("LDSO_TPU_NO_COMPILE_CACHE") or _platform_key == "cpu":
+        raise RuntimeError("compile cache disabled")
     _os.makedirs(_cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", _cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -20,6 +20,10 @@ import jax  # noqa: E402
 # The environment's sitecustomize force-registers a remote TPU backend and
 # overrides platform selection after import; undo that for unit tests.
 jax.config.update("jax_platforms", "cpu")
+# The persistent compilation cache SIGSEGVs (de)serializing CPU executables
+# under this container's machine-feature mismatch. Tests recompile fresh.
+os.environ["LDSO_TPU_NO_COMPILE_CACHE"] = "1"
+jax.config.update("jax_compilation_cache_dir", None)
 # Tests validate numerics in float64 reference runs on CPU; production
 # device code is explicitly float32 (see ldso_tpu/__init__.py).
 jax.config.update("jax_enable_x64", True)
