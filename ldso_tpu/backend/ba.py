@@ -599,6 +599,41 @@ def do_step(W: Window, stepfac_c, stepfac_t, stepfac_r, stepfac_a, stepfac_d):
 
 
 @jax.jit
+def do_step_momentum(W: Window, prev_frame_step, prev_pt_step):
+    """doStepFromBackup, SOLVER_MOMENTUM branch (FullSystem.cc:1557-1584):
+    the applied step blends the fresh solver step with half the previous
+    iteration's raw step on the pose head and the point idepths; calib and
+    affine take the raw step with no step factor. Returns (new W, canbreak)
+    with the break thresholds evaluated on the blended step."""
+    step = W.frame_step.at[:, :6].add(0.5 * prev_frame_step[:, :6])
+    new_state = W.state_backup + step
+    new_c = W.c_backup + W.c_step
+    pstep = W.pt_step + 0.5 * prev_pt_step
+    new_id = W.idepth_backup + pstep
+    act = W.pt_valid
+    new_id = jnp.where(act, new_id, W.idepth)
+
+    nf = jnp.maximum(jnp.sum(W.frame_valid), 1)
+    fv = W.frame_valid[:, None]
+    sumA = jnp.sum(fv[:, 0] * step[:, 6] ** 2) / nf
+    sumB = jnp.sum(fv[:, 0] * step[:, 7] ** 2) / nf
+    sumT = jnp.sum(fv * step[:, 0:3] ** 2) / nf
+    sumR = jnp.sum(fv * step[:, 3:6] ** 2) / nf
+    nid = jnp.maximum(jnp.sum(act), 1)
+    sumID = jnp.sum(act * pstep ** 2) / nid
+    sumNID = jnp.sum(act * jnp.abs(W.idepth_backup)) / nid
+    del sumID  # tracked by the reference but unused in the break test
+
+    W = W._replace(state=jnp.where(fv, new_state, W.state),
+                   c_value=new_c, idepth=new_id,
+                   idepth_zero=jnp.where(act, new_id, W.idepth_zero))
+    th = 0.00005 * 1.2  # setting_thOptIterations = 1.2
+    canbreak = ((jnp.sqrt(sumA) < 0.0005 * 1.2) & (jnp.sqrt(sumB) < th)
+                & (jnp.sqrt(sumR) < th) & (jnp.sqrt(sumT) * sumNID < th))
+    return W, canbreak
+
+
+@jax.jit
 def load_backup(W: Window) -> Window:
     idep = jnp.where(W.pt_valid, W.idepth_backup, W.idepth)
     return W._replace(state=W.state_backup, c_value=W.c_backup,

@@ -201,6 +201,56 @@ def _marg_frame_inputs(W: Window, idx):
     return jnp.concatenate([W.prior[idx], (W.state[idx, :8] - 0.0)])
 
 
+def _marg_points_fused_impl(W: Window, marg_cand, drop_in, dIs,
+                            min_idepth_h, fac, cfg: Config,
+                            img_w: int, img_h: int):
+    """The entire end-of-keyframe point retirement as ONE device program:
+    relinearize + FEJ-fix the marginalization candidates (FullSystem.cc:
+    497-529), gate them on idepth-Hessian quality (flagPointsForRemoval,
+    :1228-1263), mode-2 accumulate + Schur the survivors onto the (packed)
+    marginalization system (marginalizePointsF, EnergyFunctional.cc:165-222)
+    and drop both the survivors and the rejects. Returns
+    (W', packed) where packed = [H (n,n); b; nres-row; rec^T (4,P);
+    really (1,P); drop (1,P)] — one pull replaces the previous three."""
+    relmask = W.res_exist & marg_cand[:, None]
+    W = W._replace(
+        res_linearized=W.res_linearized & ~relmask,
+        res_state=jnp.where(relmask, RES_IN, W.res_state),
+        res_new_state=jnp.where(relmask, RES_OUTLIER, W.res_new_state),
+    )
+    W, _ = ba.linearize_all(W, dIs, cfg, img_w, img_h)
+    W = ba.apply_res(W)
+    W = ba.fix_linearization(W, marg_cand)
+    rec = jnp.stack([W.pt_u, W.pt_v, W.idepth, W.pt_idepth_hessian], axis=1)
+
+    good_h = W.pt_idepth_hessian > min_idepth_h
+    really = marg_cand & good_h
+    drop = drop_in | (marg_cand & ~good_h)
+
+    Wb = _boost_prior_dev(W, really, fac)
+    H, b, nres = ba.accumulate_marg(Wb, really)
+    W = _drop_points_dev(Wb, really | drop)
+
+    n = H.shape[0]
+    P = rec.shape[0]
+
+    def row(x):  # (P,) -> (ceil(P/n), n)
+        pad = (-P) % n
+        return jnp.concatenate([x.astype(jnp.float32),
+                                jnp.zeros(pad, jnp.float32)]).reshape(-1, n)
+
+    tail = jnp.zeros((1, n), jnp.float32).at[0, 0].set(
+        nres.astype(jnp.float32))
+    packed = jnp.concatenate(
+        [H, b[None, :], tail] + [row(rec[:, k]) for k in range(4)]
+        + [row(really), row(drop)], axis=0)
+    return W, packed
+
+
+_marg_points_fused = jax.jit(
+    _marg_points_fused_impl, static_argnames=("cfg", "img_w", "img_h"))
+
+
 def _round_up_pow2(n: int, lo: int = 64) -> int:
     import math
     return max(lo, 1 << int(math.ceil(math.log2(max(n, 1)))))
@@ -270,11 +320,13 @@ class EnergyFunctional:
         self.HM, self.bM = HM, bM
         return i
 
-    def marginalize_frame(self, idx: int, pre_drop=None):
+    def marginalize_frame(self, idx: int, pre_drop=None, prior_delta=None):
         """Schur-marginalize frame slot idx onto HM/bM and compact slots
         (EnergyFunctional::marginalizeFrame, :72-151). pre_drop: optional
         point mask to drop in the same fused device program (points hosted
-        in the leaving frame)."""
+        in the leaving frame). prior_delta: optional host (prior(8),
+        state_delta(8)) mirrors (e.g. from the post-BA packed pull) — when
+        given, the frame marginalization runs with NO device round-trip."""
         nf = self.n_frames
         odim = nf * 8 + CPARS
         ndim = odim - 8
@@ -289,10 +341,16 @@ class EnergyFunctional:
             bM = bM[order]
 
         # add the frame prior before marginalizing (:104-106); one fused
-        # pull instead of two eager tiny ones (tunnel round-trips)
-        from ldso_tpu.utils.transfer import device_get
-        pd = device_get(_marg_frame_inputs(self.W, jnp.int32(idx))).astype(np.float64)
-        prior, delta_prior = pd[:8], pd[8:]
+        # pull instead of two eager tiny ones (tunnel round-trips) — or zero
+        # pulls when the caller already holds the mirrors
+        if prior_delta is not None:
+            prior = np.asarray(prior_delta[0], np.float64)
+            delta_prior = np.asarray(prior_delta[1], np.float64)
+        else:
+            from ldso_tpu.utils.transfer import device_get
+            pd = device_get(_marg_frame_inputs(
+                self.W, jnp.int32(idx))).astype(np.float64)
+            prior, delta_prior = pd[:8], pd[8:]
         HM[ndim:, ndim:][np.diag_indices(8)] += prior
         bM[ndim:] += prior * delta_prior
 
@@ -314,7 +372,7 @@ class EnergyFunctional:
         self.W = _marg_frame_mutations(
             self.W,
             pre_drop if pre_drop is not None
-            else jnp.zeros(self.P, bool), int(idx))
+            else jnp.zeros(self.P, bool), jnp.int32(idx))
         self.n_frames -= 1
         self.pt_host_np = np.where(self.pt_host_np > idx,
                                    self.pt_host_np - 1, self.pt_host_np)
@@ -413,9 +471,70 @@ class EnergyFunctional:
         (FullSystem::makeKeyFrame :443-469)."""
         self.W = _add_residuals_dev(self.W, jnp.int32(frame_idx))
 
-    def drop_points(self, pt_mask: jax.Array):
+    def drop_points(self, pt_mask: jax.Array, pt_mask_np=None):
+        """pt_mask_np: optional host mirror of pt_mask — avoids pulling the
+        device mask back over the tunnel just to update the host mirrors."""
         self.W = _drop_points_dev(self.W, pt_mask)
-        self.pt_valid_np &= ~np.asarray(pt_mask)
+        self.pt_valid_np &= ~(pt_mask_np if pt_mask_np is not None
+                              else np.asarray(pt_mask))
+
+    def marginalize_and_drop(self, marg_cand, drop,
+                             dIs, img_w: int, img_h: int):
+        """Fused end-of-keyframe point retirement (see _marg_points_fused):
+        relin+fix the candidates, gate on idepth-Hessian quality, absorb the
+        survivors into HM/bM, drop survivors+rejects — ONE device program,
+        ONE pull. marg_cand/drop may be host or device masks. Returns
+        (rec (P,4) [u,v,idepth,idepth_H], really_marg, dropped) as host
+        arrays."""
+        h = self.marginalize_and_drop_dispatch(marg_cand, drop, dIs,
+                                               img_w, img_h)
+        return self.marginalize_and_drop_consume(h)
+
+    def marginalize_and_drop_dispatch(self, marg_cand, drop, dIs,
+                                      img_w: int, img_h: int):
+        """Dispatch half of marginalize_and_drop: queues the fused program
+        (inputs may be device masks straight out of _post_ba_dev, so this
+        can run before any pull) and starts the async result transfer."""
+        self.W, packed = _marg_points_fused(
+            self.W, jnp.asarray(marg_cand), jnp.asarray(drop), dIs,
+            jnp.float32(self.cfg.min_idepth_h_marg),
+            jnp.float32(self.cfg.idepth_fix_prior_marg_fac),
+            self.cfg, img_w, img_h)
+        packed.copy_to_host_async()
+        return packed
+
+    def marginalize_and_drop_consume(self, packed):
+        """Pull half: read the (already landed) packed result, absorb the
+        survivors' Schur system into HM/bM, update host mirrors."""
+        from ldso_tpu.config import (SOLVER_ORTHOGONALIZE_POINTMARG,
+                                     SOLVER_ORTHOGONALIZE_FULL)
+        pk = np.asarray(packed, np.float64)
+        nfull = pk.shape[1]
+        H = pk[:nfull]
+        b = pk[nfull]
+        nres = pk[nfull + 1, 0]
+        rows = (self.P + nfull - 1) // nfull
+        off = nfull + 2
+        fields = [pk[off + k * rows: off + (k + 1) * rows].reshape(-1)[:self.P]
+                  for k in range(6)]
+        rec = np.stack(fields[:4], axis=1)
+        really = fields[4] > 0.5
+        dropped = fields[5] > 0.5
+
+        if really.any():
+            n = CPARS + 8 * self.n_frames
+            if self.cfg.solver_mode & SOLVER_ORTHOGONALIZE_POINTMARG:
+                if not any(getattr(f, "kf_id", -1) == 0
+                           for f in self.window_shells):
+                    self.HM, self.bM = self._orthogonalize_system(
+                        self.HM, self.bM)
+            self.HM += self.cfg.marg_weight_fac * H[:n, :n]
+            self.bM += self.cfg.marg_weight_fac * b[:n]
+            if self.cfg.solver_mode & SOLVER_ORTHOGONALIZE_FULL:
+                self.HM, self.bM = self._orthogonalize_system(self.HM, self.bM)
+            self.res_in_m += int(nres)
+        self.pt_valid_np &= ~(really | dropped)
+        return rec, really, dropped
 
     # ------------------------------------------------------------------ solving
     def _nullspaces(self) -> np.ndarray:
@@ -584,13 +703,19 @@ class EnergyFunctional:
 
     # ------------------------------------------------------------------ optimize
     def optimize(self, dIs: jax.Array, max_iterations: int,
-                 img_w: int, img_h: int) -> float:
+                 img_w: int, img_h: int, defer_stats: bool = False):
         """The windowed BA LM loop (FullSystem::optimize, :725-864).
         Returns the final RMSE; sets self.is_lost on divergence.
 
         Default mode (forceAcceptStep + FIX_LAMBDA, the reference defaults)
         runs as ONE device program (backend/ba_device.py); the general
-        accept/reject LM falls back to the host-orchestrated loop below."""
+        accept/reject LM falls back to the host-orchestrated loop below.
+
+        defer_stats (device path only): return the device [energy, res_in_a,
+        rmse] handle with an async pull already started instead of blocking —
+        the caller queues more work behind the BA and calls
+        `consume_stats(handle)` after its own next sync point, when the
+        transfer has already landed."""
         cfg = self.cfg
         nf = self.n_frames
         if nf < 2:
@@ -601,7 +726,9 @@ class EnergyFunctional:
             max_iterations = 15
         newest = nf - 1
 
-        if cfg.force_accept_step:
+        from ldso_tpu.config import SOLVER_MOMENTUM
+        momentum = bool(cfg.solver_mode & SOLVER_MOMENTUM)
+        if cfg.force_accept_step and not momentum:
             from ldso_tpu.backend import ba_device
             n_full = CPARS + 8 * self.F
             HMp = np.zeros((n_full, n_full), np.float32)
@@ -612,6 +739,11 @@ class EnergyFunctional:
             self.W, stats = ba_device.optimize_device(
                 self.W, dIs, jnp.asarray(HMp), jnp.asarray(bMp),
                 jnp.int32(newest), cfg, img_w, img_h, max_iterations)
+            if defer_stats:
+                from ldso_tpu.utils.transfer import _pad64
+                h = _pad64(stats)
+                h.copy_to_host_async()
+                return h
             from ldso_tpu.utils.transfer import device_get
             stats = device_get(stats)
             self.res_in_a = int(stats[1])
@@ -619,6 +751,24 @@ class EnergyFunctional:
                 self.is_lost = True
             return float(stats[2])
 
+        if defer_stats:
+            raise ValueError("defer_stats requires the device LM path "
+                             "(force_accept_step without SOLVER_MOMENTUM)")
+        return self._optimize_host(dIs, max_iterations, img_w, img_h,
+                                   newest, momentum)
+
+    def consume_stats(self, handle) -> float:
+        """Finish a defer_stats=True optimize: read the (already landed)
+        async stats transfer and apply the divergence bookkeeping."""
+        stats = np.asarray(handle)[:3]
+        self.res_in_a = int(stats[1])
+        if not np.isfinite(stats[0]):
+            self.is_lost = True
+        return float(stats[2])
+
+    def _optimize_host(self, dIs, max_iterations, img_w, img_h,
+                       newest, momentum):
+        cfg = self.cfg
         from ldso_tpu.utils.transfer import device_get_scalar
         self.W = _reset_oob(self.W)
         self.W, eP = ba.linearize_all(self.W, dIs, cfg, img_w, img_h)
@@ -634,6 +784,15 @@ class EnergyFunctional:
         from ldso_tpu.config import SOLVER_STEPMOMENTUM
         for iteration in range(max_iterations):
             self.W = ba.backup_state(self.W)
+            if momentum:
+                # backupState(iteration != 0) momentum semantics
+                # (FullSystem.cc:1627-1650): the previous raw solver step is
+                # what the blended update mixes in; zero on iteration 0.
+                if iteration != 0:
+                    prev_fstep, prev_pstep = self.W.frame_step, self.W.pt_step
+                else:
+                    prev_fstep = jnp.zeros_like(self.W.frame_step)
+                    prev_pstep = jnp.zeros_like(self.W.pt_step)
             self.solve_system(iteration, lam)
             # step-direction momentum (FullSystem.cc:781-793): grow the step
             # when successive increments align, shrink when they oppose
@@ -648,8 +807,12 @@ class EnergyFunctional:
                     stepsize = float(np.clip(
                         np.sqrt(np.sqrt(new_ss * stepsize ** 3)), 0.25, 2.0))
             prev_x = self.last_x
-            self.W, canbreak = ba.do_step(self.W, stepsize, stepsize,
-                                          stepsize, stepsize, stepsize)
+            if momentum:
+                self.W, canbreak = ba.do_step_momentum(
+                    self.W, prev_fstep, prev_pstep)
+            else:
+                self.W, canbreak = ba.do_step(self.W, stepsize, stepsize,
+                                              stepsize, stepsize, stepsize)
             canbreak = bool(device_get_scalar(canbreak))
 
             self.W, eP = ba.linearize_all(self.W, dIs, cfg, img_w, img_h)
@@ -701,24 +864,29 @@ class EnergyFunctional:
 import functools
 
 
-@functools.partial(jax.jit, static_argnames=("idx",))
-def _marg_frame_mutations(W: Window, pre_drop, idx: int) -> Window:
+@jax.jit
+def _marg_frame_mutations(W: Window, pre_drop, idx) -> Window:
     """drop_points(pre_drop) + residual-column drop + _shift_frame_out as
-    one program (frame marginalization's device side)."""
+    one program (frame marginalization's device side). idx traced — one
+    executable for all window slots."""
     W = _drop_points_dev(W, pre_drop)
+    col = jax.nn.one_hot(idx, W.F, dtype=bool)[None, :]
     W = W._replace(
-        res_exist=W.res_exist.at[:, idx].set(False),
-        res_active=W.res_active.at[:, idx].set(False),
+        res_exist=W.res_exist & ~col,
+        res_active=W.res_active & ~col,
     )
     return _shift_frame_out(W, idx)
 
 
-@functools.partial(jax.jit, static_argnames=("idx",))
-def _shift_frame_out(W: Window, idx: int) -> Window:
-    """Remove frame slot idx; shift higher slots down by one (device)."""
+@jax.jit
+def _shift_frame_out(W: Window, idx) -> Window:
+    """Remove frame slot idx; shift higher slots down by one (device).
+    idx is TRACED: one compiled executable covers every slot (a static idx
+    builds F executables, each paying a ~0.3-0.9 s compile-cache load the
+    first time a run marginalizes that slot)."""
     F = W.F
-    perm = jnp.concatenate([jnp.arange(idx), jnp.arange(idx + 1, F),
-                            jnp.array([idx])])
+    ar = jnp.arange(F)
+    perm = jnp.where(ar < idx, ar, jnp.where(ar < F - 1, ar + 1, idx))
 
     def shift_f(a, axis):
         return jnp.take(a, perm, axis=axis)

@@ -55,8 +55,7 @@ SOLVER_REMOVE_POSEPRIOR = 32
 SOLVER_USE_GN = 64
 SOLVER_FIX_LAMBDA = 128
 SOLVER_ORTHOGONALIZE_X = 256
-SOLVER_MOMENTUM = 512          # accepted; backup-step blending not
-                               # implemented (off in every reference preset)
+SOLVER_MOMENTUM = 512          # previous-step blending (FullSystem.cc:1557)
 SOLVER_STEPMOMENTUM = 1024     # step-direction momentum (FullSystem.cc:785)
 SOLVER_ORTHOGONALIZE_X_LATER = 2048
 

@@ -93,6 +93,56 @@ def shi_tomasi_map(dI: jax.Array, halfbox: int = 4) -> jax.Array:
     return jnp.where(ok, score, 0.0)
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("gridsize", "per_cell", "skip"))
+def detect_status_map(dI: jax.Array, abs_grad: jax.Array,
+                      gridsize: int, per_cell: int, skip: int) -> jax.Array:
+    """DetectCorners' candidate selection (FeatureDetector.cc:33-95) as ONE
+    device program producing the (H, W) selection-status map directly — for
+    callers that feed the immature-candidate pool and do NOT need host-side
+    features (pure VO, loop closing off). The corner flag / orientation /
+    descriptor stages (:97-189) only matter for the loop-closing feature
+    records, so they stay on the host path (detect_corners below).
+
+    Grid parameters come from detect_grid_params (host, static)."""
+    H, W = abs_grad.shape
+    st = shi_tomasi_map(dI)
+    grid_x, grid_y = W // gridsize + 1, H // gridsize + 1
+    gx0, gx1 = skip, grid_x - skip
+    gy0, gy1 = skip, grid_y - skip
+    Hc, Wc = gy1 - gy0, gx1 - gx0
+    if Hc <= 0 or Wc <= 0:
+        return jnp.zeros((H, W), jnp.int32)
+    y_lo, x_lo = gy0 * gridsize, gx0 * gridsize
+    crop_a = abs_grad[y_lo:y_lo + Hc * gridsize, x_lo:x_lo + Wc * gridsize]
+    crop_s = st[y_lo:y_lo + Hc * gridsize, x_lo:x_lo + Wc * gridsize]
+    cells_a = crop_a.reshape(Hc, gridsize, Wc, gridsize).transpose(0, 2, 1, 3)
+    cells_s = crop_s.reshape(Hc, gridsize, Wc, gridsize).transpose(0, 2, 1, 3)
+    cell_max = cells_a.max(axis=(2, 3), keepdims=True)
+    grad_th = jnp.maximum(0.5 * cell_max, 5.0)
+    flat = jnp.where(cells_a > grad_th, cells_s, -1.0).reshape(Hc, Wc, -1)
+    k = min(per_cell, flat.shape[-1])
+    top_val, top_idx = jax.lax.top_k(flat, k)                  # (Hc,Wc,k)
+    yy = top_idx // gridsize
+    xx = top_idx % gridsize
+    cy = jax.lax.broadcasted_iota(jnp.int32, (Hc, Wc, k), 0)
+    cx = jax.lax.broadcasted_iota(jnp.int32, (Hc, Wc, k), 1)
+    u = (x_lo + cx * gridsize + xx).reshape(-1)
+    v = (y_lo + cy * gridsize + yy).reshape(-1)
+    ok = (top_val > 0).reshape(-1)
+    u = jnp.where(ok, u, W)                    # OOB scatter -> dropped
+    return jnp.zeros((H, W), jnp.int32).at[v, u].set(1, mode="drop")
+
+
+def detect_grid_params(H: int, W: int, n_features: int):
+    """Static grid geometry shared by both detection paths
+    (FeatureDetector.cc:38-46)."""
+    gridsize = max(int(np.sqrt(W * H / n_features) + 0.5), 2)
+    per_cell = int(float(n_features) / (W * H) * gridsize * gridsize) + 1
+    skip = (HALF_PATCH * 2 // gridsize) + 1
+    return gridsize, per_cell, skip
+
+
 def detect_corners(dI: jax.Array, abs_grad: jax.Array, n_features: int,
                    max_feats: int = 2048):
     """Grid-based detection (DetectCorners, FeatureDetector.cc:33-126).

@@ -206,7 +206,10 @@ def trace(pool: ImmaturePool, dI_target: jax.Array, KRKi: jax.Array,
     sy = pty0[:, None] + steps[None, :] * dyn[:, None]
     px = sx[:, :, None] + rot_patt[:, None, :, 0]                   # (N,S,8)
     py = sy[:, :, None] + rot_patt[:, None, :, 1]
-    hit = bilinear(dI_target, px, py)[..., 0]
+    # intensity-only gather: the discrete SSD search never reads the
+    # gradient channels, and gathering (H,W) instead of (H,W,3) rows cuts
+    # the dominant VPU gather traffic of the whole per-frame program 3x
+    hit = bilinear(dI_target[..., 0], px, py)
     res = hit - (aff[:, None, None, 0] * pool.color[:, None, :]
                  + aff[:, None, None, 1])
     abs_r = jnp.abs(res)

@@ -222,7 +222,7 @@ def _calc_res_gs(L: InitLevel, dI_ref, dI_new, T, aff_rel, lvl,
     inb = (Ku > 1) & (Kv > 1) & (Ku < wl - 2) & (Kv < hl - 2) & (new_idepth > 0)
 
     hit = bilinear(dI_new, Ku, Kv)                # (N,8,3)
-    ref_c = bilinear(dI_ref, uP, vP)[..., 0]      # (N,8)
+    ref_c = bilinear(dI_ref[..., 0], uP, vP)      # (N,8) intensity only
     finite = jnp.isfinite(hit[..., 0]) & jnp.isfinite(ref_c)
     ok_pix = inb & finite
     point_ok = L.is_good & L.valid & jnp.all(ok_pix, axis=-1)

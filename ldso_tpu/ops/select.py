@@ -202,7 +202,21 @@ class PixelSelector:
     """Host-side density-adaptation wrapper (reference makeMaps recursion).
 
     Holds the mutable `current_potential` like the reference and the fixed
-    random pattern (seeded once; PixelSelector2.cc:9-14)."""
+    random pattern (seeded once; PixelSelector2.cc:9-14).
+
+    Two adaptation modes:
+      * synchronous (the reference's recursion): pull the selected count,
+        resize the potential and reselect immediately when the density is
+        >25% off. Used for the first few calls (bootstrap) and whenever the
+        caller asks (`sync=True`).
+      * pipelined (steady state, documented deviation): the density
+        controller runs on the PREVIOUS keyframe's count, pulled
+        asynchronously — selection costs ZERO device round-trips. Behind
+        the remote-TPU tunnel a synchronous pull is ~30 ms; the potential
+        is stable at steady state so the one-keyframe lag is noise (the
+        activation-density controller downstream buffers it further)."""
+
+    _SYNC_CALLS = 4     # bootstrap calls that keep the reference recursion
 
     def __init__(self, w: int, h: int, cfg):
         self.cfg = cfg
@@ -210,11 +224,14 @@ class PixelSelector:
         self.random_pattern = jnp.asarray(
             rng.randint(0, 256, size=w * h).astype(np.int32))
         self.current_potential = 3
+        self._n_calls = 0
+        self._pending = None           # async (counts handle, pot, density)
 
     def make_maps(self, pyr, density: float, recursions_left: int = 1,
-                  th_factor: float = 2.0):
+                  th_factor: float = 2.0, sync: bool = False):
         """pyr: FramePyramid (needs levels 0..2). Returns (status, n)."""
         cfg = self.cfg
+        self._n_calls += 1
         ths = make_threshold_map(pyr.abs_grad[0], cfg.min_grad_hist_cut,
                                  cfg.min_grad_hist_add)
         ag1 = pyr.abs_grad[1] if pyr.levels > 1 else pyr.abs_grad[0]
@@ -223,20 +240,35 @@ class PixelSelector:
         status, counts = select(pyr.dI[0], pyr.abs_grad[0], ag1, ag2, ths,
                                 self.current_potential, th_factor,
                                 cfg.seed, cfg.grad_downweight_per_level)
-        from ldso_tpu.utils.transfer import device_get
-        num_have = float(device_get(counts).sum())
-        quotia = density / max(num_have, 1.0)
 
-        K = num_have * (self.current_potential + 1) ** 2
+        if sync or self._n_calls <= self._SYNC_CALLS or self._pending is None:
+            from ldso_tpu.utils.transfer import device_get
+            num_have = float(device_get(counts).sum())
+            pot_used = self.current_potential
+        else:
+            # pipelined: adapt on the previous keyframe's count
+            prev_counts, pot_used, _ = self._pending
+            num_have = float(np.asarray(prev_counts).sum())
+        counts.copy_to_host_async()
+        self._pending = (counts, self.current_potential, density)
+
+        quotia = density / max(num_have, 1.0)
+        K = num_have * (pot_used + 1) ** 2
         ideal = int(np.sqrt(K / max(density, 1.0))) - 1
         ideal = max(ideal, 1)
 
         if recursions_left > 0 and quotia > 1.25 and self.current_potential > 1:
             self.current_potential = min(ideal, self.current_potential - 1)
-            return self.make_maps(pyr, density, recursions_left - 1, th_factor)
-        if recursions_left > 0 and quotia < 0.25:
+            if sync or self._n_calls <= self._SYNC_CALLS:
+                return self.make_maps(pyr, density, recursions_left - 1,
+                                      th_factor, sync)
+        elif recursions_left > 0 and quotia < 0.25:
             self.current_potential = max(ideal, self.current_potential + 1)
-            return self.make_maps(pyr, density, recursions_left - 1, th_factor)
+            if sync or self._n_calls <= self._SYNC_CALLS:
+                return self.make_maps(pyr, density, recursions_left - 1,
+                                      th_factor, sync)
+        else:
+            self.current_potential = ideal
 
         if quotia < 0.95:
             status = _subsample(status, self.random_pattern,
@@ -244,7 +276,6 @@ class PixelSelector:
             # the exact post-subsample count is only informational; the
             # expected value avoids one device round-trip per keyframe
             num_have = num_have * quotia
-        self.current_potential = ideal
         return status, int(num_have)
 
 

@@ -43,25 +43,6 @@ from ldso_tpu.utils.timing import StageTimer
 from ldso_tpu.slam_map import FrameShell, GlobalMap, MapPointRecord
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "img_w", "img_h"))
-def _relin_fix_marg_dev(W, mask, dIs, cfg, img_w: int, img_h: int):
-    """Marg-candidate relinearize + FEJ fix (makeKeyFrame's pre-
-    marginalization pass, FullSystem.cc:497-529) as one program. Returns
-    (W, rec (P,4) = [u, v, idepth, idepth_hessian]) — the single pull
-    serves both the quality gate and point retirement records."""
-    relmask = W.res_exist & mask[:, None]
-    W = W._replace(
-        res_linearized=W.res_linearized & ~relmask,
-        res_state=jnp.where(relmask, RES_IN, W.res_state),
-        res_new_state=jnp.where(relmask, RES_OUTLIER, W.res_new_state),
-    )
-    W, _ = ba.linearize_all(W, dIs, cfg, img_w, img_h)
-    W = ba.apply_res(W)
-    W = ba.fix_linearization(W, mask)
-    rec = jnp.stack([W.pt_u, W.pt_v, W.idepth, W.pt_idepth_hessian], axis=1)
-    return W, rec
-
-
 @functools.partial(jax.jit, static_argnames=("calib", "cfg", "coarsest"))
 def _frame_step(image, arena, ref, T0, aff0, exposure, last_rmse,
                 T_ref_cw, T_hosts, host_affs, host_expos, b_grad,
@@ -250,13 +231,17 @@ def _gate_candidates(pool, KRKi, Kt, dist_map, min_act_dist, marg_flag,
 def _tracker_ref_inputs(W, newest):
     """Pack the tracker-template inputs (one dispatch):
     (u, v, idepth, weight, valid) of points with an IN residual toward the
-    newest KF (setCoarseTrackingRef, CoarseTracker.cc:240-283)."""
+    newest KF plus the newest frame's POST-BA affine (setCoarseTrackingRef,
+    CoarseTracker.cc:240-283; lastRef_aff_g2l reads the optimized state).
+    The affine comes from device state, NOT the host shell mirror — the
+    caller runs before the post-BA pull has landed on the host."""
+    from ldso_tpu.backend.window import aff_g2l
     cp = W.center_proj[:, newest]
     valid = (W.pt_valid & W.res_exist[:, newest]
              & (W.res_state[:, newest] == RES_IN))
     hdif = 1.0 / jnp.maximum(W.pt_idepth_hessian, 1e-12)
     weight = jnp.sqrt(1e-3 / (hdif + 1e-12))
-    return cp[:, 0], cp[:, 1], cp[:, 2], weight, valid
+    return cp[:, 0], cp[:, 1], cp[:, 2], weight, valid, aff_g2l(W)[newest]
 
 
 @jax.jit
@@ -321,8 +306,14 @@ def _post_ba_dev(W, marg_frame_targets, flags_dev, newest, prev):
     affs = aff_g2l(W).reshape(-1)                      # (F*2,)
     packed = jnp.concatenate([
         poses, affs, dead.astype(jnp.float32), drop.astype(jnp.float32),
-        marg.astype(jnp.float32)])
-    return W, packed
+        marg.astype(jnp.float32),
+        # frame priors + unscaled state deltas: lets the host run any
+        # subsequent frame marginalization without its own device pull
+        # (EnergyFunctional::marginalizeFrame adds prior .* delta, :104-106)
+        W.prior.reshape(-1), W.state[:, :8].reshape(-1)])
+    # drop/marg also returned as device masks so the point-marginalization
+    # program can be dispatched behind this one without waiting for the pull
+    return W, packed, drop, marg
 
 
 def _motion_hypotheses(lastF_2_slast, fh_2_slast):
@@ -607,6 +598,7 @@ class FullSystem:
             or res0 < self.last_coarse_rmse[0] * cfg.re_track_threshold)
 
         if not retrack_ok and len(tries) > 1:
+            self._n_retry_sweeps = getattr(self, "_n_retry_sweeps", 0) + 1
             # retries run in fixed-size device chunks, earliest-first: the
             # reference tries hypotheses sequentially and stops at the first
             # usable one (FullSystem.cc:189-311) — nearly always within the
@@ -720,10 +712,17 @@ class FullSystem:
         pt_valid = self.ef.pt_valid_np
         flags = [False] * nf
 
-        # immature counts: one (padded) pull for all pools
-        from ldso_tpu.utils.transfer import device_get
-        imm_counts = device_get(immature.arena_counts(self.imm_arena,
-                                                       self.ef.F))
+        # immature counts: read the async handle staged at the end of the
+        # previous keyframe (the arena's live set only changes on the
+        # keyframe path, so the staged counts are exact); fall back to one
+        # padded synchronous pull on the first keyframe
+        h = getattr(self, "_imm_counts_async", None)
+        if h is not None:
+            imm_counts = np.asarray(h)[:self.ef.F]
+        else:
+            from ldso_tpu.utils.transfer import device_get
+            imm_counts = device_get(immature.arena_counts(self.imm_arena,
+                                                          self.ef.F))
 
         newest = self.window_frames[-1]
         flagged = 0
@@ -837,7 +836,20 @@ class FullSystem:
             jnp.asarray(affs_a, jnp.float32), jnp.asarray(masks),
             jnp.float32(self.current_min_act_dist), jnp.asarray(marg_flags),
             jnp.int32(newest_i), jnp.int32(nf), cfg, calib, w1, h1)
-        packed = np.asarray(packed)
+        # the packed result rides home asynchronously while the BA program
+        # (queued right behind this one) runs; _consume_activation reads the
+        # landed buffer after the BA's own sync point — zero extra round-trip
+        packed.copy_to_host_async()
+        self._act_packed = (packed, nf)
+
+    def _consume_activation(self):
+        """Apply the host mirror/bookkeeping updates of the (already landed)
+        activation pull staged by _activate_points."""
+        if getattr(self, "_act_packed", None) is None:
+            return
+        packed_dev, nf = self._act_packed
+        self._act_packed = None
+        packed = np.asarray(packed_dev)
         slot = packed[:, 0].astype(np.int64)
         hostc = packed[:, 1].astype(np.int64)
         okn = packed[:, 2] > 0.5
@@ -868,27 +880,67 @@ class FullSystem:
     def make_keyframe(self, shell: FrameShell, pyr: FramePyramid):
         cfg, calib = self.cfg, self.calib
         if not getattr(self, "_traced_this_frame", False):
-            self._trace_new_coarse(shell, pyr)
+            with self.timer.stage("kf.trace"):
+                self._trace_new_coarse(shell, pyr)
         self._traced_this_frame = False
-        self._flag_frames_for_marginalization()
+        with self.timer.stage("kf.flag_marg"):
+            self._flag_frames_for_marginalization()
 
         # insert frame + shell bookkeeping
         shell.kf_id = self.global_map.num_frames()
         # frame insert + residual slots + dI stack: one fused dispatch
         # (the new frame inherits the previous newest's energy threshold
         #  inside _insert_frame_dev; FullSystem.cc:476)
-        idx, self.dIs = self.ef.insert_keyframe(
-            shell.T_cw, shell.exposure, shell.aff, self.dIs, pyr.dI[0])
+        with self.timer.stage("kf.insert"):
+            idx, self.dIs = self.ef.insert_keyframe(
+                shell.T_cw, shell.exposure, shell.aff, self.dIs, pyr.dI[0])
         self.window_frames.append(shell)
         self.window_pyrs.append(pyr)
         self.imm_live.append(False)
         self.marg_flags.append(False)
-        self._activate_points(shell, pyr)
+        with self.timer.stage("kf.activate"):
+            self._activate_points(shell, pyr)
 
         # ===== the windowed BA =====
         dIs = self._dIs_stack()
-        rmse = self.ef.optimize(dIs, cfg.max_opt_iterations,
-                                calib.w[0], calib.h[0])
+        from ldso_tpu.config import SOLVER_MOMENTUM
+        defer = cfg.force_accept_step and not (cfg.solver_mode
+                                               & SOLVER_MOMENTUM)
+        with self.timer.stage("kf.ba"):
+            rmse = self.ef.optimize(dIs, cfg.max_opt_iterations,
+                                    calib.w[0], calib.h[0],
+                                    defer_stats=defer)
+        stats_handle = None
+        if defer and not isinstance(rmse, float):
+            # the stats transfer runs while the post-BA program (dispatched
+            # below) computes; the first blocking read drains everything
+            stats_handle = rmse
+            rmse = None
+
+        # post-BA: outlier drop + removal flags + pose/aff sync, one pull
+        nf = len(self.window_frames)
+        F = self.ef.F
+        marg_frame_targets = np.asarray(
+            [self.marg_flags[j] if j < nf else False for j in range(F)])
+        flags_dev = jnp.asarray(np.concatenate(
+            [np.asarray(self.marg_flags), np.zeros(F - nf, bool)]))
+        with self.timer.stage("kf.post_ba"):
+            self.ef.W, packed, drop_dev, marg_dev = _post_ba_dev(
+                self.ef.W, jnp.asarray(marg_frame_targets), flags_dev,
+                jnp.int32(nf - 1), jnp.int32(nf - 2))
+            packed.copy_to_host_async()
+            # the tracker reference splat must see the window BEFORE point
+            # marginalization (reference order: setCoarseTrackingRef at
+            # :507-514 precedes flagPointsForRemoval/marginalizePointsF)
+            self._update_tracker_ref()
+            # queue the fused point-marginalization program on the device
+            # masks directly — it computes while the post-BA pull flies home
+            marg_handle = self.ef.marginalize_and_drop_dispatch(
+                marg_dev, drop_dev, dIs, calib.w[0], calib.h[0])
+            if stats_handle is not None:
+                rmse = self.ef.consume_stats(stats_handle)
+            self._consume_activation()
+            packed = np.asarray(packed, np.float64)
         self.is_lost = self.is_lost or self.ef.is_lost
 
         num_kfs = self.global_map.num_frames() + 1
@@ -898,24 +950,13 @@ class FullSystem:
                 self.init_failed = True
         if self.is_lost:
             return
-
-        # post-BA: outlier drop + removal flags + pose/aff sync, one pull
-        nf = len(self.window_frames)
-        F = self.ef.F
-        marg_frame_targets = np.asarray(
-            [self.marg_flags[j] if j < nf else False for j in range(F)])
-        flags_dev = jnp.asarray(np.concatenate(
-            [np.asarray(self.marg_flags), np.zeros(F - nf, bool)]))
-        self.ef.W, packed = _post_ba_dev(
-            self.ef.W, jnp.asarray(marg_frame_targets), flags_dev,
-            jnp.int32(nf - 1), jnp.int32(nf - 2))
-        packed = np.asarray(packed, np.float64)
         P = self.ef.P
         T = packed[:F * 16].reshape(F, 4, 4)
         A = packed[F * 16:F * 18].reshape(F, 2)
         dead = packed[F * 18:F * 18 + P] > 0.5
-        drop = packed[F * 18 + P:F * 18 + 2 * P] > 0.5
-        marg_cand = packed[F * 18 + 2 * P:F * 18 + 3 * P] > 0.5
+        base = F * 18 + 3 * P
+        self._marg_priors = packed[base:base + F * 8].reshape(F, 8)
+        self._marg_deltas = packed[base + F * 8:base + F * 16].reshape(F, 8)
         if dead.any():
             self._count_dead(dead)
             self.ef.pt_valid_np &= ~dead
@@ -924,26 +965,20 @@ class FullSystem:
             sh.aff = A[i].copy()
             if sh.kf_id >= self.global_map.latest_optimized_kf_id:
                 sh.S_cw = sh.T_cw.copy()
-        self._update_tracker_ref()
-        if marg_cand.any():
-            # relinearize + FEJ-fix the marg candidates and return the
-            # quality gate + retirement record in ONE program + ONE pull
-            self.ef.W, rec = _relin_fix_marg_dev(
-                self.ef.W, jnp.asarray(marg_cand), dIs, cfg,
-                calib.w[0], calib.h[0])
-            rec = np.asarray(rec)
-            # idepth-hessian quality gate: good -> marginalize, bad -> drop
-            good_h = rec[:, 3] > cfg.min_idepth_h_marg
-            really_marg = marg_cand & good_h
-            drop = drop | (marg_cand & ~good_h)
+        # point retirement: the fused program was dispatched before the
+        # post-BA pull; its result landed with it (relinearize + FEJ-fix +
+        # quality gate + Schur-marginalize + drop; previously 3 pulls)
+        with self.timer.stage("kf.marg_points"):
+            rec, really_marg, dropped = \
+                self.ef.marginalize_and_drop_consume(marg_handle)
             if really_marg.any():
                 self._record_retired(really_marg, rec)
-                self.ef.marginalize_points(jnp.asarray(really_marg), dIs)
-        if drop.any():
-            self._count_dead(drop)
-            self.ef.drop_points(jnp.asarray(drop))
+            only_drop = dropped & ~really_marg
+            if only_drop.any():
+                self._count_dead(only_drop)
 
-        self._make_new_traces(shell, pyr, idx)
+        with self.timer.stage("kf.new_traces"):
+            self._make_new_traces(shell, pyr, idx)
 
         # covisibility edges (fast loop-closing mode; :532-567)
         if len(self.window_frames) >= 2:
@@ -963,14 +998,22 @@ class FullSystem:
 
         # ===== marginalize flagged frames =====
         i = 0
-        while i < len(self.window_frames):
-            if self.marg_flags[i]:
-                self._marginalize_frame_full(i)
-                i = 0
-            else:
-                i += 1
+        with self.timer.stage("kf.marg_frames"):
+            while i < len(self.window_frames):
+                if self.marg_flags[i]:
+                    self._marginalize_frame_full(i)
+                    i = 0
+                else:
+                    i += 1
 
         self.global_map.add_keyframe(shell)
+
+        # stage next keyframe's immature counts: dispatch + async pull now,
+        # read (already landed) at the next _flag_frames_for_marginalization
+        from ldso_tpu.utils.transfer import _pad64
+        cts = _pad64(immature.arena_counts(self.imm_arena, self.ef.F))
+        cts.copy_to_host_async()
+        self._imm_counts_async = cts
 
         # ===== loop closing (makeKeyFrame :585-589 -> LoopClosing thread) ====
         if self.loop_closing is not None:
@@ -1011,7 +1054,7 @@ class FullSystem:
         bad = self.ef.pt_valid_np & (nres == 0)
         if bad.any():
             self._count_dead(bad)
-            self.ef.drop_points(jnp.asarray(bad))
+            self.ef.drop_points(jnp.asarray(bad), bad)
 
     def _count_dead(self, mask: np.ndarray):
         hosts = self.ef.pt_host_np[mask]
@@ -1072,13 +1115,13 @@ class FullSystem:
         W = self.ef.W
         nf = len(self.window_frames)
         newest = nf - 1
-        u, v, idep, weight, valid = _tracker_ref_inputs(W, jnp.int32(newest))
+        u, v, idep, weight, valid, ref_aff = _tracker_ref_inputs(
+            W, jnp.int32(newest))
         newest_shell = self.window_frames[newest]
         self.tracker_ref = tracker.make_tracker_ref(
             u, v, idep, weight, valid,
             self.window_pyrs[newest].dI,
-            jnp.float32(newest_shell.exposure),
-            jnp.asarray(newest_shell.aff, jnp.float32),
+            jnp.float32(newest_shell.exposure), ref_aff,
             self.calib, self.cfg.tracker_caps[:self.calib.levels])
         self.tracker_ref_shell = newest_shell
         self.first_coarse_rmse = -1.0
@@ -1089,7 +1132,16 @@ class FullSystem:
         corner-aware detector, 2 = random)."""
         cfg = self.cfg
         H, W = self.calib.h[0], self.calib.w[0]
-        if cfg.point_selection == 1:
+        if cfg.point_selection == 1 and self.loop_closing is None:
+            # pure VO: nothing downstream needs host-side features, so the
+            # whole corner selection stays on device — zero round-trips
+            # (the host detect_corners path pays ~5 transfers per keyframe)
+            from ldso_tpu.frontend import detector
+            gp = detector.detect_grid_params(
+                H, W, int(cfg.desired_immature_density))
+            status = detector.detect_status_map(
+                pyr.dI[0], pyr.abs_grad[0], *gp)
+        elif cfg.point_selection == 1:
             from ldso_tpu.frontend import detector
             feats = detector.detect_corners(
                 pyr.dI[0], pyr.abs_grad[0], int(cfg.desired_immature_density),
@@ -1128,8 +1180,16 @@ class FullSystem:
         if hosted.any():
             self._count_dead(hosted)
             self.ef.pt_valid_np &= ~hosted
+        pd = getattr(self, "_marg_priors", None)
         self.ef.marginalize_frame(
-            i, pre_drop=jnp.asarray(hosted) if hosted.any() else None)
+            i, pre_drop=jnp.asarray(hosted) if hosted.any() else None,
+            prior_delta=(None if pd is None
+                         else (self._marg_priors[i], self._marg_deltas[i])))
+        if pd is not None:
+            # keep the cached rows aligned with the compacted slots
+            keep = [j for j in range(self.ef.F) if j != i] + [i]
+            self._marg_priors = self._marg_priors[keep]
+            self._marg_deltas = self._marg_deltas[keep]
         self.window_frames.pop(i)
         self.window_pyrs.pop(i)
         self.imm_live.pop(i)

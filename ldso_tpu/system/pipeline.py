@@ -13,11 +13,22 @@ coarseTracker / coarseTracker_forNewKF swap, FullSystem.cc:104-111).
 Host threads only move small queue entries; all heavy compute stays on
 device. `linearize_operation=True` degenerates to the reference's
 synchronous determinism mode (run_dso_tum_mono.cc:36 playbackSpeed==0).
+
+Keyframe policy under load (mappingLoop, FullSystem.cc:1825-1864): a
+popped frame becomes a keyframe ONLY when the queue is empty behind it
+and a keyframe demand is pending against the current newest KF; while the
+queue is non-empty every popped frame is a non-keyframe, and in catch-up
+mode (queue ran past 3) every other queued frame is skipped outright (its
+shell pose was already set by tracking). The pending-demand bookkeeping
+is `needNewKFAfter = <tracking ref id at demand time>` — upstream DSO
+semantics; LDSO's copy declares the field (FullSystem.h:310) but lost the
+assignment, leaving its async mode KF-starved unless
+setting_realTimeMaxKF is on. We implement the intended semantics.
 """
 
 from __future__ import annotations
 
-import queue
+import collections
 import threading
 from typing import Optional
 
@@ -27,34 +38,52 @@ from ldso_tpu.system.full_system import FullSystem
 class AsyncPipeline:
     """Wraps a FullSystem with the reference's mapping-thread handoff."""
 
+    # catch-up engages when the queue runs past this (FullSystem.cc:1836)
+    KETCHUP_THRESHOLD = 3
+    # hard backpressure bound: each queued entry pins a pyramid in HBM; the
+    # reference's deque is unbounded but catch-up skipping drains 2 frames
+    # per mapping iteration so it stays shallow in practice
+    MAX_QUEUE = 32
+
     def __init__(self, fs: FullSystem, linearize_operation: bool = False,
-                 max_queue: int = 8):
+                 max_queue: Optional[int] = None):
         self.fs = fs
         self.linearize_operation = linearize_operation
-        self.queue: "queue.Queue" = queue.Queue(maxsize=max_queue)
+        self.max_queue = max_queue or self.MAX_QUEUE
+        self.unmapped = collections.deque()
+        self.cond = threading.Condition()
+        self.need_new_kf_after = -1     # FullSystem.h:310
+        self.need_ketchup = False
         self.running = not linearize_operation
         self.exc: Optional[BaseException] = None
-        self._lock = threading.Lock()
+        self._map_lock = threading.Lock()
         self.thread = None
         if self.running:
-            self.thread = threading.Thread(target=self._mapping_loop,
-                                           daemon=True)
-            self.thread.start()
+            # XLA's compile passes recurse deeply; the platform-default
+            # thread stack (8 MB here) can overflow when a fused keyframe
+            # program is first compiled on the mapping thread (observed as
+            # a segfault inside backend_compile_and_load). Give the mapping
+            # thread a roomy stack, then restore the default.
+            old = threading.stack_size(64 * 1024 * 1024)
+            try:
+                self.thread = threading.Thread(target=self._mapping_loop,
+                                               daemon=True)
+                self.thread.start()
+            finally:
+                threading.stack_size(old)
 
     # ------------------------------------------------------------- tracking
     def add_active_frame(self, image, frame_id, exposure=1.0, timestamp=0.0):
-        """Tracking-side entry; keyframes are handed to the mapping thread
-        (deliverTrackedFrame, FullSystem.cc:160-177)."""
+        """Tracking-side entry; tracked frames are handed to the mapping
+        thread (deliverTrackedFrame, FullSystem.cc:160-177)."""
         if self.exc:
             raise self.exc
         fs = self.fs
         if self.linearize_operation or not fs.initialized:
-            with self._lock:
-                return fs.add_active_frame(image, frame_id, exposure, timestamp)
+            with self._map_lock:
+                return fs.add_active_frame(image, frame_id, exposure,
+                                           timestamp)
 
-        import jax.numpy as jnp
-        import numpy as np
-        from ldso_tpu.ops.preprocess import make_pyramid
         from ldso_tpu.slam_map import FrameShell
 
         shell = FrameShell(id=frame_id, timestamp=timestamp, exposure=exposure)
@@ -68,37 +97,66 @@ class AsyncPipeline:
             fs.is_lost = True
             return shell
         need_kf = fs._keyframe_decision(shell)
-        # mapping thread consumes (shell, pyr, need_kf); non-KFs may be
-        # dropped under load exactly like the reference's catch-up logic
-        # (mappingLoop, FullSystem.cc:1821-1846)
-        try:
-            self.queue.put((shell, pyr, need_kf),
-                           block=need_kf)  # KFs must not be dropped
-        except queue.Full:
-            pass  # drop a non-keyframe when mapping is behind
+        with self.cond:
+            while len(self.unmapped) >= self.max_queue and self.running:
+                self.cond.wait(0.05)        # backpressure (HBM-bounded)
+            self.unmapped.append((shell, pyr))
+            if need_kf:
+                # DSO: needNewKFAfter = shell->trackingRef->id
+                self.need_new_kf_after = max(self.need_new_kf_after,
+                                             fs.tracker_ref_shell.id)
+            self.cond.notify_all()
         return shell
 
     # -------------------------------------------------------------- mapping
     def _mapping_loop(self):
-        while self.running or not self.queue.empty():
+        fs = self.fs
+        while True:
+            with self.cond:
+                while not self.unmapped and self.running:
+                    self.cond.wait(timeout=0.1)
+                if not self.unmapped:
+                    if not self.running:
+                        return
+                    continue
+                shell, pyr = self.unmapped.popleft()
+                if len(self.unmapped) > self.KETCHUP_THRESHOLD:
+                    self.need_ketchup = True
+                qlen = len(self.unmapped)
+                self.cond.notify_all()
             try:
-                item = self.queue.get(timeout=0.1)
-            except queue.Empty:
-                continue
-            shell, pyr, need_kf = item
-            try:
-                with self._lock:
-                    if need_kf:
-                        self.fs.make_keyframe(shell, pyr)
+                with self._map_lock:
+                    if fs.global_map.num_frames() <= 2:
+                        # guaranteed KFs for the first two tracked frames
+                        fs.make_keyframe(shell, pyr)
+                    elif qlen > 0:
+                        # other frames waiting: mapping is behind
+                        fs.make_non_keyframe(shell, pyr)
+                        if self.need_ketchup:
+                            with self.cond:
+                                if self.unmapped:
+                                    # skip one queued frame outright
+                                    # (FullSystem.cc:1845-1852)
+                                    self.unmapped.popleft()
+                                    self.cond.notify_all()
                     else:
-                        self.fs.make_non_keyframe(shell, pyr)
+                        newest_id = (fs.window_frames[-1].id
+                                     if fs.window_frames else -1)
+                        if self.need_new_kf_after >= newest_id:
+                            fs.make_keyframe(shell, pyr)
+                            self.need_ketchup = False
+                        else:
+                            fs.make_non_keyframe(shell, pyr)
             except BaseException as e:  # noqa: BLE001
                 self.exc = e
                 self.running = False
+                return
 
     def block_until_mapping_is_finished(self):
         """blockUntilMappingIsFinished (FullSystem.cc:384-409)."""
-        self.running = False
+        with self.cond:
+            self.running = False
+            self.cond.notify_all()
         if self.thread is not None:
             self.thread.join(timeout=600)
         if self.exc:

@@ -97,6 +97,42 @@ class TestSolverModes:
         assert not ef.is_lost
         assert np.isfinite(rmse)
 
+    def test_momentum_mode_converges(self):
+        """SOLVER_MOMENTUM (previous-step blending, FullSystem.cc:1557-1584)
+        reaches the same solution as the plain path on a well-conditioned
+        window."""
+        from ldso_tpu.config import SOLVER_MOMENTUM, SOLVER_FIX_LAMBDA
+        res = {}
+        for mode in ("plain", "momentum"):
+            ef, dIs, poses, idep0, calib, (w, h) = _build_ef(
+                pose_noise=2e-3, idepth_noise=0.05, n_pts=100)
+            solver = SOLVER_FIX_LAMBDA
+            if mode == "momentum":
+                solver |= SOLVER_MOMENTUM
+            ef.cfg = dataclasses.replace(CFG, force_accept_step=False,
+                                         solver_mode=solver)
+            rmse = ef.optimize(dIs, 10, w, h)
+            assert not ef.is_lost and np.isfinite(rmse)
+            res[mode] = np.asarray(current_poses(ef.W), np.float64)
+        rel_a = res["plain"][2] @ np.linalg.inv(res["plain"][0])
+        rel_b = res["momentum"][2] @ np.linalg.inv(res["momentum"][0])
+        err = np.asarray(lie.se3_log(jnp.asarray(
+            np.linalg.inv(rel_a) @ rel_b)))
+        assert np.linalg.norm(err) < 1e-3, f"momentum vs plain diff {err}"
+
+    def test_momentum_with_force_accept_runs(self):
+        """MOMENTUM forces the host-orchestrated loop even under the default
+        force-accept mode (the single-program device path has no
+        previous-step state)."""
+        from ldso_tpu.config import SOLVER_MOMENTUM, SOLVER_FIX_LAMBDA
+        ef, dIs, poses, idep0, calib, (w, h) = _build_ef(
+            pose_noise=2e-3, idepth_noise=0.05, n_pts=100)
+        ef.cfg = dataclasses.replace(
+            CFG, solver_mode=SOLVER_FIX_LAMBDA | SOLVER_MOMENTUM)
+        assert ef.cfg.force_accept_step
+        rmse = ef.optimize(dIs, 10, w, h)
+        assert not ef.is_lost and np.isfinite(rmse) and rmse < 3.0
+
     def test_stepmomentum_and_remove_poseprior_run(self):
         """SOLVER_STEPMOMENTUM adapts the step size; SOLVER_REMOVE_POSEPRIOR
         zeroes the idepth prior — both still converge."""

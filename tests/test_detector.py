@@ -101,6 +101,36 @@ class TestDetect:
         err = np.hypot(up - u2, vp - v2p)
         assert np.median(err) < 2.5, f"median reprojection {np.median(err):.2f}px"
 
+    def test_device_status_map_matches_host_selection(self):
+        """detect_status_map (device-only path, loop closing off) selects
+        the same candidate pixels as detect_corners' host selection (the
+        corner flag / NMS stages don't feed the status map)."""
+        rng = np.random.RandomState(7)
+        H, W = 96, 128
+        img = rng.rand(H, W).astype(np.float32) * 120
+        gy, gx = np.gradient(img)
+        dI = jnp.asarray(np.stack([img, gx, gy], -1))
+        ag = jnp.asarray((gx ** 2 + gy ** 2).astype(np.float32))
+        n_feat = 120
+
+        feats = detector.detect_corners(dI, ag, n_feat, max_feats=512)
+        valid = np.asarray(feats["valid"])
+        hu = np.asarray(feats["u"])[valid].astype(int)
+        hv = np.asarray(feats["v"])[valid].astype(int)
+        host_set = set(zip(hu.tolist(), hv.tolist()))
+
+        gp = detector.detect_grid_params(H, W, n_feat)
+        status = np.asarray(detector.detect_status_map(dI, ag, *gp))
+        du, dv = np.nonzero(status.T)
+        dev_set = set(zip(du.tolist(), dv.tolist()))
+
+        # identical up to capacity truncation of the host path
+        assert dev_set, "device path selected nothing"
+        inter = len(dev_set & host_set)
+        assert inter >= 0.9 * min(len(dev_set), len(host_set)), (
+            f"device/host selection disagree: {inter} common of "
+            f"{len(dev_set)} vs {len(host_set)}")
+
     def test_hamming_matrix_basics(self):
         a = jnp.asarray(np.array([[0, 0, 0, 0, 0, 0, 0, 0]], np.uint32))
         b = jnp.asarray(np.array([[0xFFFFFFFF] * 8,
