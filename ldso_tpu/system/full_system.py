@@ -22,7 +22,7 @@ from __future__ import annotations
 import time
 
 import functools
-from typing import List, Optional
+from typing import List, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -347,6 +347,50 @@ def _motion_hypotheses(lastF_2_slast, fh_2_slast):
     return tries
 
 
+class TrackChain(NamedTuple):
+    """Device-resident tracking state for the pipelined frame loop.
+
+    The sync path computes the constant-velocity motion hypothesis on the
+    host from the last two shells' poses, which forces a blocking pull of
+    every frame's tracked pose before the next frame can be dispatched
+    (trackNewCoarse's sphereRef chain, FullSystem.cc:189-206). Keeping
+    (T_slast, T_sprelast, aff, rmse) on device lets the tracking thread
+    dispatch frame programs back-to-back — ~1 ms queued dispatch each —
+    and pull packed results asynchronously a few frames behind, bounded by
+    device time (~13 ms/frame) instead of the tunnel round-trip (~35 ms)."""
+    T_slast: jax.Array       # (4,4) previous frame, camera-from-world
+    T_sprelast: jax.Array    # (4,4) frame before that
+    aff: jax.Array           # (2,)  previous frame's brightness affine
+    rmse: jax.Array          # (L,)  previous frame's per-level residuals
+
+
+@jax.jit
+def _chain_prep(chain: TrackChain, T_ref_cw):
+    """Constant-velocity hypothesis 0 relative to the tracking reference
+    (the host _motion_hypotheses tries[0]), computed on device."""
+    lastF_2_slast = chain.T_slast @ jnp.linalg.inv(T_ref_cw)
+    fh_2_slast = chain.T_sprelast @ jnp.linalg.inv(chain.T_slast)
+    T0 = jnp.linalg.inv(fh_2_slast) @ lastF_2_slast
+    return T0, chain.aff, chain.rmse
+
+
+@jax.jit
+def _chain_update(chain: TrackChain, packed, T0, T_ref_cw) -> TrackChain:
+    """Advance the chain from a frame program's packed output. On tracking
+    failure the chain takes the predicted pose and keeps the previous
+    affine/residuals — the same "hope to recover" fallback as the host
+    path (trackNewCoarse's final else, FullSystem.cc:355-365)."""
+    L = chain.rmse.shape[0]
+    T = packed[:16].reshape(4, 4)
+    aff = packed[16:18]
+    res = packed[20:20 + L]
+    ok = (packed[18] > 0.5) & jnp.isfinite(res[0])
+    T_new = jnp.where(ok, T, T0) @ T_ref_cw
+    return TrackChain(T_new, chain.T_slast,
+                      jnp.where(ok, aff, chain.aff),
+                      jnp.where(ok, res, chain.rmse))
+
+
 class FullSystem:
     def __init__(self, calib: Calibration, cfg: Config,
                  b_grad_lut: Optional[np.ndarray] = None, vocab=None):
@@ -377,6 +421,7 @@ class FullSystem:
         self.ef.window_shells = self.window_frames   # shared list object
         self._traced_this_frame = False
         self._frame_pyr: Optional[FramePyramid] = None
+        self.track_chain: Optional[TrackChain] = None   # pipelined tracking
         self.window_pyrs: List[FramePyramid] = []
         self.marg_flags: List[bool] = []
         # immature candidates: ONE device stack over frame slots (no
@@ -527,21 +572,99 @@ class FullSystem:
         self.make_keyframe(shell, pyr)
 
     # ---------------------------------------------------------------- tracking
+    # ---------------------------------------------------- pipelined tracking
+    def chain_reset(self):
+        """(Re)build the device tracking chain from the host mirrors."""
+        L = self.calib.levels
+        frames = [f for f in self.all_frames if f.pose_valid]
+        T_slast = frames[-1].T_cw if frames else np.eye(4)
+        T_sprelast = frames[-2].T_cw if len(frames) >= 2 else T_slast
+        aff = frames[-1].aff if frames else np.zeros(2)
+        rmse = np.where(np.isfinite(self.last_coarse_rmse[:L]),
+                        self.last_coarse_rmse[:L], np.inf)
+        self.track_chain = TrackChain(
+            jnp.asarray(T_slast, jnp.float32),
+            jnp.asarray(T_sprelast, jnp.float32),
+            jnp.asarray(aff, jnp.float32), jnp.asarray(rmse, jnp.float32))
+
+    def track_chain_dispatch(self, shell: FrameShell, image: np.ndarray):
+        """Queue the fused frame program with chain-fed initialization —
+        zero pulls; the packed result rides home asynchronously. Returns
+        (pyr, packed handle, ref_shell used). The candidate trace is NOT
+        committed (the mapping thread owns the arena; it traces on its own
+        thread exactly like the reference's makeKey/NonKeyFrame)."""
+        cfg, calib = self.cfg, self.calib
+        ref, ref_shell = self._tracker_ref_pair
+        T_ref = jnp.asarray(ref_shell.T_cw, jnp.float32)
+        T0, aff0, rmse = _chain_prep(self.track_chain, T_ref)
+        F = self.ef.F
+        dummies = getattr(self, "_chain_dummies", None)
+        if dummies is None:
+            dummies = (jnp.asarray(np.tile(np.eye(4), (F, 1, 1)), jnp.float32),
+                       jnp.zeros((F, 2), jnp.float32),
+                       jnp.ones((F,), jnp.float32))
+            self._chain_dummies = dummies
+        _, pyr, packed = _frame_step(
+            jnp.asarray(image, jnp.float32), self.imm_arena, ref, T0, aff0,
+            jnp.float32(shell.exposure), rmse, T_ref, *dummies,
+            self.b_grad, jnp.asarray(False), calib, cfg, calib.levels - 1)
+        self.track_chain = _chain_update(self.track_chain, packed, T0, T_ref)
+        packed.copy_to_host_async()
+        return pyr, packed, ref_shell
+
+    def track_chain_consume(self, shell: FrameShell, packed_dev,
+                            ref_shell) -> bool:
+        """Apply a landed chain-step result to the host mirrors. Returns
+        False when the retrack gate trips (trackingIsGood || res >=
+        lastRes * reTrackThreshold, FullSystem.cc:117-123) — the caller
+        then re-tracks the frame on the host retry path."""
+        cfg = self.cfg
+        nlv = self.calib.levels
+        packed = np.asarray(packed_dev, np.float64)
+        T = packed[:16].reshape(4, 4)
+        aff = packed[16:18]
+        ok = packed[18] > 0.5
+        res = packed[20:20 + nlv]
+        flow = packed[20 + nlv:23 + nlv]
+        res0 = float(res[0]) if np.isfinite(res[0]) else np.inf
+        good = ok and np.isfinite(res0)
+        if not (good and (not np.isfinite(self.last_coarse_rmse[0])
+                          or res0 < self.last_coarse_rmse[0]
+                          * cfg.re_track_threshold)):
+            return False
+        shell.T_cw = T @ ref_shell.T_cw
+        shell.aff = aff.copy()
+        self.last_coarse_rmse = res.copy()
+        if self.first_coarse_rmse < 0:
+            self.first_coarse_rmse = res0
+        self._last_flow = flow.copy()
+        self._last_rmse = res0
+        return True
+
     def _track_new_coarse(self, shell: FrameShell, image: np.ndarray,
-                          commit_trace: bool = True) -> bool:
+                          commit_trace: bool = True, neighbors=None) -> bool:
         """trackNewCoarse (FullSystem.cc:179-382) as the fused per-frame
         megastep: pyramid + hypothesis 0 + device-gated candidate trace in
         ONE dispatch with an async result pull; retry hypotheses run in
         device chunks only when the gate fails. Sets self._frame_pyr and
-        self._traced_this_frame for the keyframe/non-keyframe paths."""
+        self._traced_this_frame for the keyframe/non-keyframe paths.
+
+        neighbors: optional (slast, sprelast) shells for the motion
+        hypotheses — the pipelined retry path passes the frames preceding
+        `shell` explicitly because all_frames has run ahead of it."""
         cfg, calib = self.cfg, self.calib
         ref_shell = self.tracker_ref_shell
         lastF_T = ref_shell.T_cw
 
-        if len(self.all_frames) >= 3 and self.all_frames[-2].pose_valid \
-                and self.all_frames[-3].pose_valid and ref_shell.pose_valid:
+        slast = sprelast = None
+        if neighbors is not None:
+            if all(n is not None and n.pose_valid for n in neighbors):
+                slast, sprelast = neighbors
+        elif len(self.all_frames) >= 3 and self.all_frames[-2].pose_valid \
+                and self.all_frames[-3].pose_valid:
             slast = self.all_frames[-2]
             sprelast = self.all_frames[-3]
+        if slast is not None and ref_shell.pose_valid:
             slast_2_sprelast = sprelast.T_cw @ np.linalg.inv(slast.T_cw)
             lastF_2_slast = slast.T_cw @ np.linalg.inv(lastF_T)
             aff_last = slast.aff.copy()
@@ -656,10 +779,13 @@ class FullSystem:
         self._last_rmse = float(res[0])
         return bool(np.isfinite(self._last_rmse))
 
-    def _keyframe_decision(self, shell: FrameShell) -> bool:
-        """Optical-flow + affine heuristic (FullSystem.cc:125-147)."""
+    def _keyframe_decision(self, shell: FrameShell, ref=None) -> bool:
+        """Optical-flow + affine heuristic (FullSystem.cc:125-147). ref:
+        the shell the frame was tracked against (defaults to the current
+        tracking reference; the pipelined consumer passes the one in effect
+        at dispatch time)."""
         cfg, calib = self.cfg, self.calib
-        ref = self.tracker_ref_shell
+        ref = ref or self.tracker_ref_shell
         if cfg.keyframes_per_second > 0:
             # time-based keyframing (FullSystem.cc:126-131)
             last_kf = self.window_frames[-1]
@@ -1124,6 +1250,10 @@ class FullSystem:
             jnp.float32(newest_shell.exposure), ref_aff,
             self.calib, self.cfg.tracker_caps[:self.calib.levels])
         self.tracker_ref_shell = newest_shell
+        # atomic (ref, shell) snapshot for the pipelined tracking thread:
+        # one attribute assignment so a concurrent reader never sees a new
+        # ref paired with the old shell
+        self._tracker_ref_pair = (self.tracker_ref, newest_shell)
         self.first_coarse_rmse = -1.0
 
     def _make_new_traces(self, shell: FrameShell, pyr: FramePyramid, idx: int):

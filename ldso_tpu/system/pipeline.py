@@ -45,6 +45,10 @@ class AsyncPipeline:
     # per mapping iteration so it stays shallow in practice
     MAX_QUEUE = 32
 
+    # max in-flight chain-dispatched frames (device ~13 ms each; 4 keeps
+    # the device fed across one ~35 ms tunnel round-trip)
+    CHAIN_DEPTH = 4
+
     def __init__(self, fs: FullSystem, linearize_operation: bool = False,
                  max_queue: Optional[int] = None):
         self.fs = fs
@@ -57,6 +61,11 @@ class AsyncPipeline:
         self.running = not linearize_operation
         self.exc: Optional[BaseException] = None
         self._map_lock = threading.Lock()
+        # chain-tracking state (tracking thread only)
+        self.pending = collections.deque()   # (shell, image, pyr, packed, ref_shell)
+        self._chain_dirty = True
+        self._slast = None
+        self._sprelast = None
         self.thread = None
         if self.running:
             # XLA's compile passes recurse deeply; the platform-default
@@ -75,7 +84,15 @@ class AsyncPipeline:
     # ------------------------------------------------------------- tracking
     def add_active_frame(self, image, frame_id, exposure=1.0, timestamp=0.0):
         """Tracking-side entry; tracked frames are handed to the mapping
-        thread (deliverTrackedFrame, FullSystem.cc:160-177)."""
+        thread (deliverTrackedFrame, FullSystem.cc:160-177).
+
+        Steady state uses the device-resident tracking chain: the frame
+        program is dispatched immediately (~1 ms queued) with its motion
+        hypothesis computed on device from the previous frames' poses; the
+        packed result is consumed a few frames later when its async pull
+        has landed. The tracking thread therefore never blocks on the
+        tunnel round-trip unless CHAIN_DEPTH frames are already in
+        flight."""
         if self.exc:
             raise self.exc
         fs = self.fs
@@ -86,27 +103,53 @@ class AsyncPipeline:
 
         from ldso_tpu.slam_map import FrameShell
 
+        if self._chain_dirty:
+            # flush frames still in flight on the (possibly bad) chain;
+            # _drain rebuilds the chain from host state once empty
+            self._drain(block=True)
+            if fs.is_lost:
+                return None
         shell = FrameShell(id=frame_id, timestamp=timestamp, exposure=exposure)
         fs.all_frames.append(shell)
-        # fused pyramid+track; the trace commit stays with the mapping
-        # thread, which owns the candidate arena (tracking-side commits
-        # would race with mapping-side removals)
-        ok = fs._track_new_coarse(shell, image, commit_trace=False)
-        pyr = fs._frame_pyr
-        if not ok:
-            fs.is_lost = True
-            return shell
-        need_kf = fs._keyframe_decision(shell)
-        with self.cond:
-            while len(self.unmapped) >= self.max_queue and self.running:
-                self.cond.wait(0.05)        # backpressure (HBM-bounded)
-            self.unmapped.append((shell, pyr))
-            if need_kf:
-                # DSO: needNewKFAfter = shell->trackingRef->id
-                self.need_new_kf_after = max(self.need_new_kf_after,
-                                             fs.tracker_ref_shell.id)
-            self.cond.notify_all()
+        pyr, packed, ref_shell = fs.track_chain_dispatch(shell, image)
+        self.pending.append((shell, image, pyr, packed, ref_shell))
+        self._drain(block=len(self.pending) > self.CHAIN_DEPTH)
         return shell
+
+    def _drain(self, block: bool):
+        """Consume landed chain-step results in order. With block=False only
+        results whose transfer already finished are consumed."""
+        fs = self.fs
+        while self.pending and not fs.is_lost:
+            if not block and not self.pending[0][3].is_ready():
+                return
+            shell, image, pyr, packed, ref_shell = self.pending.popleft()
+            if not fs.track_chain_consume(shell, packed, ref_shell):
+                # gate tripped: host retry sweep against the CURRENT ref
+                # (the reference also retracks against the newest KF,
+                # FullSystem.cc:104-123); the device chain continued from
+                # the bad pose, so rebuild it once the queue is empty
+                ok = fs._track_new_coarse(
+                    shell, image, commit_trace=False,
+                    neighbors=(self._slast, self._sprelast))
+                self._chain_dirty = True
+                if not ok:
+                    fs.is_lost = True
+                    return
+            self._sprelast, self._slast = self._slast, shell
+            need_kf = fs._keyframe_decision(shell, ref=ref_shell)
+            with self.cond:
+                while len(self.unmapped) >= self.max_queue and self.running:
+                    self.cond.wait(0.05)    # backpressure (HBM-bounded)
+                self.unmapped.append((shell, pyr))
+                if need_kf:
+                    # DSO: needNewKFAfter = shell->trackingRef->id
+                    self.need_new_kf_after = max(self.need_new_kf_after,
+                                                 ref_shell.id)
+                self.cond.notify_all()
+        if self._chain_dirty and not self.pending:
+            fs.chain_reset()
+            self._chain_dirty = False
 
     # -------------------------------------------------------------- mapping
     def _mapping_loop(self):
@@ -154,6 +197,7 @@ class AsyncPipeline:
 
     def block_until_mapping_is_finished(self):
         """blockUntilMappingIsFinished (FullSystem.cc:384-409)."""
+        self._drain(block=True)      # land in-flight chain-tracked frames
         with self.cond:
             self.running = False
             self.cond.notify_all()
