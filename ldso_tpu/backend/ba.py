@@ -220,7 +220,15 @@ def linearize_all(W: Window, dIs: jax.Array, cfg: Config,
     patt_ok = (Ku > 1.1) & (Kv > 1.1) & (Ku < wM3) & (Kv < hM3)
 
     tgt = jax.lax.broadcasted_iota(jnp.int32, (P, F, 8), 1)
-    hit = _bilinear_frames(dIs, tgt, Ku, Kv)                  # (P,F,8,3)
+    if jax.default_backend() == "tpu":
+        # fence the gather: without the barriers XLA fuses the projection
+        # math (and consumers) into the serialized per-index gather loop,
+        # turning a ~5 ms op into ~150 ms of scalar code
+        Ku, Kv = jax.lax.optimization_barrier((Ku, Kv))
+        hit = _bilinear_frames(dIs, tgt, Ku, Kv)              # (P,F,8,3)
+        hit = jax.lax.optimization_barrier(hit)
+    else:
+        hit = _bilinear_frames(dIs, tgt, Ku, Kv)              # (P,F,8,3)
     finite = jnp.isfinite(hit[..., 0])
     oob = prev_oob | ~center_ok | ~jnp.all(patt_ok & finite, axis=-1)
 

@@ -12,6 +12,7 @@ like the reference's OOB status checks).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -21,7 +22,15 @@ def _gather_flat(img_flat, idx):
 
 
 def bilinear(img, x, y):
-    """img: (H, W) or (H, W, C); x, y: (...) float. Returns (...) or (..., C)."""
+    """img: (H, W) or (H, W, C); x, y: (...) float. Returns (...) or (..., C).
+
+    On TPU the gather is fenced with optimization barriers: XLA otherwise
+    fuses the coordinate-producing math (and downstream consumers) into
+    the serialized per-index gather loop, which measured 20x+ slower than
+    the fenced dense-then-gather schedule (158 -> 7 ms on the BA
+    linearization lattice)."""
+    if jax.default_backend() == "tpu":
+        x, y = jax.lax.optimization_barrier((x, y))
     H, W = img.shape[0], img.shape[1]
     x = jnp.clip(x, 0.0, W - 1.001)
     y = jnp.clip(y, 0.0, H - 1.001)
@@ -44,8 +53,11 @@ def bilinear(img, x, y):
         dy = dy[..., None]
     dxdy = dx * dy
     # same factorization as getInterpolatedElement (GlobalFuncs.h:55-67)
-    return (dxdy * v11 + (dy - dxdy) * v10 + (dx - dxdy) * v01
-            + (1.0 - dx - dy + dxdy) * v00)
+    out = (dxdy * v11 + (dy - dxdy) * v10 + (dx - dxdy) * v01
+           + (1.0 - dx - dy + dxdy) * v00)
+    if jax.default_backend() == "tpu":
+        out = jax.lax.optimization_barrier(out)
+    return out
 
 
 def nearest(img, x, y):

@@ -58,7 +58,11 @@ def _grad_and_abs(I, b_grad_lut):
     ag = dx * dx + dy * dy
     if b_grad_lut is not None:
         c = jnp.clip(jnp.round(I).astype(jnp.int32), 5, 250)
+        if jax.default_backend() == "tpu":
+            c = jax.lax.optimization_barrier(c)   # fence the LUT gather
         gw = jnp.take(b_grad_lut, c)
+        if jax.default_backend() == "tpu":
+            gw = jax.lax.optimization_barrier(gw)
         ag = ag * (gw * gw)
     return dx, dy, ag
 
@@ -103,7 +107,12 @@ def preprocess_frame(
 ) -> FramePyramid:
     """The fused preprocessing program. Compiled once per calibration."""
     if G_lut is not None and jnp.issubdtype(raw.dtype, jnp.integer):
-        linear = jnp.take(G_lut, raw.astype(jnp.int32))
+        idx_g = raw.astype(jnp.int32)
+        if jax.default_backend() == "tpu":
+            idx_g = jax.lax.optimization_barrier(idx_g)
+        linear = jnp.take(G_lut, idx_g)
+        if jax.default_backend() == "tpu":
+            linear = jax.lax.optimization_barrier(linear)
     else:
         linear = raw.astype(jnp.float32)
     if vignette_inv is not None:
@@ -124,6 +133,8 @@ def preprocess_frame(
     yi = y0.astype(jnp.int32)
     flat = linear.reshape(-1)
     idx = yi * w_org + xi
+    if jax.default_backend() == "tpu":
+        idx = jax.lax.optimization_barrier(idx)   # fence the remap gather
     v00 = jnp.take(flat, idx)
     v01 = jnp.take(flat, idx + 1)
     v10 = jnp.take(flat, idx + w_org)
@@ -131,6 +142,8 @@ def preprocess_frame(
     fxy = fx * fy
     rect = (fxy * v11 + (fy - fxy) * v10 + (fx - fxy) * v01
             + (1.0 - fx - fy + fxy) * v00)
+    if jax.default_backend() == "tpu":
+        rect = jax.lax.optimization_barrier(rect)
     rect = jnp.where(valid, rect, 0.0).astype(jnp.float32)
 
     return _make_pyramid_impl(rect, levels, b_grad_lut)
