@@ -166,6 +166,39 @@ class TestCLI:
         np.testing.assert_allclose(M[:3, :3] @ M[:3, :3].T, np.eye(3),
                                    atol=1e-4)
 
+    def test_run_dso_euroc_end_to_end(self, tmp_path):
+        """Drive the EuRoC CLI runner on a synthetic sequence laid out
+        EuRoC-style (cam0/data/*.png + data.csv; DatasetReader.h:254-283)."""
+        calib = default_calib(192, 120)
+        scene = PlaneScene(freq_hi=25.0, contrast=80.0)
+        cam0 = tmp_path / "mav0" / "cam0"
+        (cam0 / "data").mkdir(parents=True)
+        rows = []
+        for i in range(14):
+            t = np.array([0.05 * i, 0.01 * i, 0.0, 0, 0, 0])
+            T = np.linalg.inv(np.asarray(lie.se3_exp(jnp.asarray(t))))
+            img, _ = scene.render(calib, jnp.asarray(T, jnp.float32))
+            name = f"{1403636579763555584 + i * 50000000}.png"
+            Image.fromarray(np.asarray(img).astype(np.uint8)).save(
+                cam0 / "data" / name)
+            rows.append(f"{1403636579763555584 + i * 50000000},{name}")
+        with open(cam0 / "data.csv", "w") as f:
+            f.write("#timestamp [ns],filename\n" + "\n".join(rows) + "\n")
+        with open(tmp_path / "camera.txt", "w") as f:
+            f.write(f"0.55 {0.55 * 192 / 120:.6f} {95.5 / 192:.6f} "
+                    f"{59.5 / 120:.6f} 0\n192 120\nnone\n192 120\n")
+        out = str(tmp_path / "res_euroc.txt")
+        env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH="/root/repo")
+        res = subprocess.run(
+            [sys.executable, "/root/repo/examples/run_dso_euroc.py",
+             f"files={cam0}", f"calib={tmp_path/'camera.txt'}", "preset=3",
+             "loopclosing=0", f"output={out}"],
+            capture_output=True, text=True, timeout=900, env=env)
+        assert res.returncode == 0, res.stderr[-3000:]
+        assert os.path.exists(out) and os.path.exists(out + ".noloop")
+        ts, poses_wc = traj.read_tum(out)
+        assert len(poses_wc) >= 3
+
     def test_run_dso_tum_mono_end_to_end(self, tmp_path):
         """Drive the actual CLI entry point on an on-disk synthetic dataset;
         the written trajectory must track ground truth."""

@@ -84,3 +84,60 @@ class TestAsyncPipeline:
 
 if __name__ == "__main__":
     pytest.main([__file__, "-q", "-x"])
+
+
+class TestTrackChain:
+    def test_chain_prep_matches_host_hypothesis(self):
+        """_chain_prep's device constant-velocity hypothesis equals the
+        host _motion_hypotheses tries[0] (FullSystem.cc:189-206)."""
+        from ldso_tpu.system.full_system import (TrackChain, _chain_prep,
+                                                 _motion_hypotheses)
+        rng = np.random.RandomState(3)
+        T_ref = np.asarray(lie.se3_exp(jnp.asarray(rng.randn(6) * 0.1)))
+        T_slast = np.asarray(lie.se3_exp(jnp.asarray(rng.randn(6) * 0.1)))
+        T_sprelast = np.asarray(lie.se3_exp(jnp.asarray(rng.randn(6) * 0.1)))
+        chain = TrackChain(jnp.asarray(T_slast, jnp.float32),
+                           jnp.asarray(T_sprelast, jnp.float32),
+                           jnp.asarray([0.1, -0.2], jnp.float32),
+                           jnp.full((6,), 2.5, jnp.float32))
+        T0, aff0, rmse = _chain_prep(chain, jnp.asarray(T_ref, jnp.float32))
+        lastF_2_slast = T_slast @ np.linalg.inv(T_ref)
+        slast_2_sprelast = T_sprelast @ np.linalg.inv(T_slast)
+        tries = _motion_hypotheses(lastF_2_slast, slast_2_sprelast)
+        np.testing.assert_allclose(np.asarray(T0), tries[0], atol=1e-5)
+        np.testing.assert_allclose(np.asarray(aff0), [0.1, -0.2], atol=1e-7)
+        np.testing.assert_allclose(np.asarray(rmse), 2.5, atol=1e-7)
+
+    def test_chain_update_advances_and_falls_back(self):
+        """_chain_update takes the tracked pose when ok, the predicted pose
+        (T0 @ T_ref) when tracking failed, like trackNewCoarse's fallback
+        (FullSystem.cc:355-365)."""
+        from ldso_tpu.system.full_system import TrackChain, _chain_update
+        L = 6
+        T_ref = np.asarray(lie.se3_exp(jnp.asarray([0.1, 0, 0, 0, 0, 0.02])))
+        T = np.asarray(lie.se3_exp(jnp.asarray([0.02, 0, 0, 0, 0.01, 0])))
+        T0 = np.asarray(lie.se3_exp(jnp.asarray([0.5, 0, 0, 0, 0, 0])))
+        chain = TrackChain(jnp.eye(4), jnp.eye(4),
+                           jnp.zeros(2), jnp.full((L,), 3.0, jnp.float32))
+        res = np.full(L, 1.5, np.float32)
+
+        def packed(ok):
+            return jnp.asarray(np.concatenate(
+                [T.reshape(-1), [0.3, -0.1], [1.0 if ok else 0.0, 1.0],
+                 res, np.zeros(3)]), jnp.float32)
+
+        c_ok = _chain_update(chain, packed(True), jnp.asarray(T0, jnp.float32),
+                             jnp.asarray(T_ref, jnp.float32))
+        np.testing.assert_allclose(np.asarray(c_ok.T_slast), T @ T_ref,
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(c_ok.aff), [0.3, -0.1],
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(c_ok.rmse), 1.5, atol=1e-6)
+
+        c_bad = _chain_update(chain, packed(False),
+                              jnp.asarray(T0, jnp.float32),
+                              jnp.asarray(T_ref, jnp.float32))
+        np.testing.assert_allclose(np.asarray(c_bad.T_slast), T0 @ T_ref,
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(c_bad.aff), 0.0, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(c_bad.rmse), 3.0, atol=1e-6)
