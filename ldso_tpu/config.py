@@ -122,6 +122,11 @@ class Config:
     gn_its_on_point_activation: int = 3        # (Setting.cc:47)
     min_trace_quality: float = 3.0             # (Setting.cc:52)
     trace_stepsize: float = 1.0                # (Setting.cc:95)
+    # single-tap nearest sampling for the discrete epipolar SSD search (the
+    # bilinear GN refinement still supplies the subpixel estimate); 4x
+    # fewer taps on the hottest per-frame gather lattice. False = the
+    # reference's bilinear search (ImmaturePoint.cc:182-205).
+    trace_search_nearest: bool = True
     trace_gn_iterations: int = 3
     trace_gn_threshold: float = 0.1
     trace_extra_slack_on_th: float = 1.2

@@ -208,8 +208,20 @@ def trace(pool: ImmaturePool, dI_target: jax.Array, KRKi: jax.Array,
     py = sy[:, :, None] + rot_patt[:, None, :, 1]
     # intensity-only gather: the discrete SSD search never reads the
     # gradient channels, and gathering (H,W) instead of (H,W,3) rows cuts
-    # the dominant VPU gather traffic of the whole per-frame program 3x
-    hit = bilinear(dI_target[..., 0], px, py)
+    # the dominant VPU gather traffic of the whole per-frame program 3x.
+    # trace_search_nearest further drops the search stage to single-tap
+    # nearest sampling (4x fewer taps on the hottest lattice of the whole
+    # per-frame path; measured 44 -> ~15 ms): the discrete argmin only
+    # seeds the bilinear GN refinement below, which supplies the subpixel
+    # estimate, and the start-position dither (rand_shift above) decorates
+    # the rounding. The reference samples the search bilinearly
+    # (ImmaturePoint.cc:182-205) — set trace_search_nearest=False for the
+    # exact-semantics path.
+    if cfg.trace_search_nearest:
+        from ldso_tpu.ops.interp import nearest
+        hit = nearest(dI_target[..., 0], px, py)
+    else:
+        hit = bilinear(dI_target[..., 0], px, py)
     res = hit - (aff[:, None, None, 0] * pool.color[:, None, :]
                  + aff[:, None, None, 1])
     abs_r = jnp.abs(res)

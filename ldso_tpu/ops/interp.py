@@ -61,12 +61,17 @@ def bilinear(img, x, y):
 
 
 def nearest(img, x, y):
-    """Nearest-neighbour gather with clamping."""
+    """Nearest-neighbour gather with clamping (fenced like bilinear)."""
+    if jax.default_backend() == "tpu":
+        x, y = jax.lax.optimization_barrier((x, y))
     H, W = img.shape[0], img.shape[1]
     xi = jnp.clip(jnp.round(x), 0, W - 1).astype(jnp.int32)
     yi = jnp.clip(jnp.round(y), 0, H - 1).astype(jnp.int32)
     flat = img.reshape((H * W,) + img.shape[2:])
-    return _gather_flat(flat, yi * W + xi)
+    out = _gather_flat(flat, yi * W + xi)
+    if jax.default_backend() == "tpu":
+        out = jax.lax.optimization_barrier(out)
+    return out
 
 
 def in_bounds(x, y, w: int, h: int, border: float = 2.0):

@@ -68,10 +68,12 @@ def _grad_and_abs(I, b_grad_lut):
 
 
 def _downsample2(I):
-    """2x2 box filter (FrameHessian.cc:66-79)."""
+    """2x2 box filter (FrameHessian.cc:66-79). Reshape-reduce instead of
+    four stride-2 slices: lane-strided slicing costs a relayout per slice
+    on TPU."""
     H, W = I.shape
-    return 0.25 * (I[0:H:2, 0:W:2] + I[1:H:2, 0:W:2]
-                   + I[0:H:2, 1:W:2] + I[1:H:2, 1:W:2])
+    return I[:(H // 2) * 2, :(W // 2) * 2].reshape(
+        H // 2, 2, W // 2, 2).mean(axis=(1, 3))
 
 
 def _make_pyramid_impl(img, levels: int, b_grad_lut=None) -> FramePyramid:
