@@ -30,6 +30,21 @@ import jax
 #    kernels opt down explicitly after validation.
 jax.config.update("jax_default_matmul_precision", "highest")
 
+# XLA's CPU compile passes recurse deeply enough to overflow the default
+# 8 MB stack (observed as flaky SIGSEGVs inside backend_compile_and_load,
+# both on worker threads and on the main thread). Raising the soft rlimit
+# lets the main thread's stack grow past it; worker threads additionally
+# get an explicit 64 MB stack where the package spawns them.
+try:
+    import resource as _resource
+    _soft, _hard = _resource.getrlimit(_resource.RLIMIT_STACK)
+    _want = 512 * 1024 * 1024
+    if _soft != _resource.RLIM_INFINITY and _soft < _want:
+        _new = _want if _hard == _resource.RLIM_INFINITY else min(_want, _hard)
+        _resource.setrlimit(_resource.RLIMIT_STACK, (_new, _hard))
+except Exception:  # noqa: BLE001 (platform without resource / denied)
+    pass
+
 # Persistent compilation cache: the axon remote-compile path costs
 # 30-120 s per program; caching compiled executables on disk makes every
 # process after the first start in seconds.
