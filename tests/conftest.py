@@ -33,3 +33,21 @@ import ldso_tpu  # noqa: F401,E402
 
 def pytest_configure(config):
     assert jax.devices()[0].platform == "cpu", "tests must run on CPU devices"
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _release_executables_between_modules():
+    """Drop compiled executables when a test module finishes.
+
+    Running the whole suite in one process accumulates hundreds of XLA CPU
+    executables; past ~100 tests the NEXT large compile segfaults inside
+    backend_compile_and_load (deterministically at the same test, with any
+    half-prefix passing — an LLVM JIT code-memory/relocation exhaustion,
+    not a test bug; RSS stays ~6 GB). Clearing jit caches per module keeps
+    the JIT address space compact at the cost of cross-module
+    recompilation."""
+    yield
+    jax.clear_caches()
