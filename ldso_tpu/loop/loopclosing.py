@@ -2,11 +2,22 @@
 
 Rebuild of the reference LoopClosing (src/frontend/LoopClosing.cc; SURVEY.md
 §2 C26, §3.4): per new keyframe — BoW transform, database query with a
-kfGap exclusion window and a 0.06 score gate, descriptor matching against
-the candidate, Sim(3) estimation (here: Umeyama RANSAC on 3D-3D matches —
-both sides carry inverse depths in LDSO — seeded PnP fallback), pose-only
-Sim(3) GN refinement with reprojection + 3D-3D edges, inlier gating, then a
-loop `poseRel` edge with its 7x7 GN information and a pose-graph run.
+kfGap exclusion window and a 0.06 score gate, then the reference's
+correction pipeline:
+  1. SearchByBoW node-bucketed descriptor matching (FeatureMatcher.cc:66)
+  2. PnP-RANSAC on candidate 3D (from feature invD) vs current 2D,
+     seeding a scale-1 Sim(3) (LoopClosing.cc:202-240)
+  3. ComputeOptimizedPose re-matching: candidate features projected
+     through the seed into the current image, grid-window descriptor
+     re-match gated by the window idepth map (LoopClosing.cc:271-405)
+  4. Sim(3) GN with 3D-3D + 2D reprojection edges, inlier gating, second
+     pass, scale sanity check (LoopClosing.cc:415-496)
+  5. a loop `poseRel` edge with its 7x7 GN information + a pose-graph run
+
+Design deviation (documented in PARITY.md): when the PnP seed fails, we
+fall back to Umeyama RANSAC on mutual-depth 3D-3D matches — both sides
+carry inverse depths in LDSO, so the 3D-3D seed directly observes scale;
+the reference would simply fail the candidate.
 
 The reference runs this on its own thread; in the synchronous pipeline it
 runs inline after makeKeyFrame (the async wrapper lives in
@@ -30,7 +41,9 @@ from ldso_tpu.loop.sim3_solver import refine_sim3, umeyama_ransac
 from ldso_tpu.loop.vocab import Vocabulary
 from ldso_tpu.slam_map import FrameShell, GlobalMap
 
-MIN_SIM3_INLIERS = 12
+MIN_BOW_MATCHES = 10    # nmatches gates (LoopClosing.cc:163,197,407)
+MIN_PNP_INLIERS = 10    # cntInliers < 10 (LoopClosing.cc:226)
+MIN_SIM3_INLIERS = 15   # inliers < 15 (LoopClosing.cc:479)
 VOCAB_MIN_TRAIN_KFS = 8
 
 
@@ -52,7 +65,9 @@ class LoopClosing:
     def make_kf_record(self, kf: FrameShell, pyr, point_uv_idepth: np.ndarray):
         """Detect ORB features on the keyframe and attach inverse depths from
         the window's active points (the reference's features carry invD from
-        point activation; Feature.h:77-93)."""
+        point activation, Feature.h:77-93; the 3-px nearest-point attach is
+        the analogue of ComputeOptimizedPose's 1-px-dilated idepth map
+        lookup, LoopClosing.cc:277-318,372-379)."""
         cfg = self.cfg
         feats = detector.detect_corners(pyr.dI[0], pyr.abs_grad[0],
                                         int(cfg.desired_immature_density))
@@ -60,19 +75,30 @@ class LoopClosing:
         u = np.asarray(feats["u"])
         v = np.asarray(feats["v"])
         desc = np.asarray(feats["desc"])
+        angle = np.asarray(feats["angle"])
         sel = np.nonzero(valid)[0]
         kf.feat_uv = np.stack([u[sel], v[sel]], 1)
         kf.feat_desc = desc[sel]
+        kf.feat_angle = angle[sel].astype(np.float32)
         kf.feat_idepth = np.full(len(sel), -1.0, np.float32)
-        # nearest active point within 3 px provides idepth
-        if point_uv_idepth is not None and len(point_uv_idepth):
+        # nearest active point within 3 px provides idepth (vectorized:
+        # one kd-tree query over all features)
+        if point_uv_idepth is not None and len(point_uv_idepth) \
+                and len(sel):
             puv = point_uv_idepth[:, :2]
             pid = point_uv_idepth[:, 2]
-            for k, (uu, vv) in enumerate(kf.feat_uv):
-                d2 = (puv[:, 0] - uu) ** 2 + (puv[:, 1] - vv) ** 2
-                j = np.argmin(d2)
-                if d2[j] < 9.0:
-                    kf.feat_idepth[k] = pid[j]
+            try:
+                from scipy.spatial import cKDTree
+                d, j = cKDTree(puv).query(kf.feat_uv,
+                                          distance_upper_bound=3.0)
+                found = np.isfinite(d)
+                kf.feat_idepth[found] = pid[j[found]]
+            except ImportError:
+                d2 = ((puv[None, :, 0] - kf.feat_uv[:, 0:1]) ** 2
+                      + (puv[None, :, 1] - kf.feat_uv[:, 1:2]) ** 2)
+                j = np.argmin(d2, axis=1)
+                found = d2[np.arange(len(sel)), j] < 9.0
+                kf.feat_idepth[found] = pid[j[found]]
 
     def _ensure_vocab(self, kf: FrameShell):
         if self.vocab is not None:
@@ -92,8 +118,12 @@ class LoopClosing:
         return False
 
     def _add_to_db(self, kf: FrameShell):
+        """ComputeBoW (Frame.cc:88-102): word ids for scoring + the
+        FeatureVector node ids (levelsup=4) used by SearchByBoW."""
         wids = self.vocab.transform(jnp.asarray(kf.feat_desc),
                                     jnp.ones(len(kf.feat_desc), bool))
+        kf.feat_word = np.asarray(wids, np.int32)
+        kf.feat_node = self.vocab.node_ids(kf.feat_word, levelsup=4)
         bow = self.vocab.bow_vector(wids)
         kf.bow_vector = bow
         self.db.add(kf.kf_id, bow)
@@ -140,83 +170,162 @@ class LoopClosing:
             return None
         return self.global_map.keyframes.get(best_id)
 
-    def _correct_loop(self, kf: FrameShell, cand: FrameShell) -> bool:
-        """Match -> Sim3 RANSAC -> GN refinement -> install poseRel edge
-        (CorrectLoop + ComputeOptimizedPose, :145-496)."""
+    @staticmethod
+    def _pad_pow2(n: int, lo: int = 64) -> int:
+        return max(lo, 1 << int(np.ceil(np.log2(max(n, 1)))))
+
+    def _backproject(self, uv, idepth):
         calib = self.calib
         fx, fy = calib.fx[0], calib.fy[0]
         cx, cy = calib.cx[0], calib.cy[0]
+        z = 1.0 / np.maximum(idepth, 1e-6)
+        return np.stack([(uv[:, 0] - cx) / fx * z,
+                         (uv[:, 1] - cy) / fy * z, z], 1)
 
-        # matching: native popcount path when available, padded device
-        # fallback otherwise (stable shapes -> no per-call recompiles)
-        from ldso_tpu import native
-        nm = native.hamming_match(kf.feat_desc, cand.feat_desc)
-        if nm is not None:
-            match = nm[0]
-        else:
-            def pad_desc(d):
-                n = len(d)
-                nb = max(64, 1 << int(np.ceil(np.log2(max(n, 1)))))
-                return (np.concatenate([d, np.zeros((nb - n, 8), np.uint32)]),
-                        np.arange(nb) < n)
-            da, va = pad_desc(kf.feat_desc)
-            db, vb = pad_desc(cand.feat_desc)
-            m, _ = detector.match_descriptors(
-                jnp.asarray(da), jnp.asarray(va), jnp.asarray(db),
-                jnp.asarray(vb))
-            match = np.asarray(m)[:len(kf.feat_desc)]
-        mi = np.nonzero(match >= 0)[0]
-        if len(mi) < MIN_SIM3_INLIERS:
-            return False
-        mj = match[mi]
+    def _seed_pnp(self, kf: FrameShell, cand: FrameShell,
+                  mi: np.ndarray, mj: np.ndarray):
+        """PnP-RANSAC seed from candidate 3D (feature invD backprojection,
+        LoopClosing.cc:185-189) vs current 2D pixels (:202-229). Returns a
+        scale-1 Sim(3) (cand cam -> cur cam, :235-240) or None."""
+        calib = self.calib
+        K = (calib.fx[0], calib.fy[0], calib.cx[0], calib.cy[0])
+        has3d = cand.feat_idepth[mj] > 0
+        if has3d.sum() < MIN_PNP_INLIERS:
+            return None
+        X = self._backproject(cand.feat_uv[mj], cand.feat_idepth[mj])
+        uv = kf.feat_uv[mi].astype(np.float32)
+        n = len(mi)
+        nb = self._pad_pow2(n)
+        Xp = np.concatenate([X.astype(np.float32),
+                             np.zeros((nb - n, 3), np.float32)])
+        uvp = np.concatenate([uv, np.zeros((nb - n, 2), np.float32)])
+        vp = np.concatenate([has3d, np.zeros(nb - n, bool)])
+        self.key, sub = jax.random.split(self.key)
+        from ldso_tpu.loop.pnp import pnp_ransac
+        from ldso_tpu.utils.transfer import device_get
+        # 8 px inlier radius, as cv::solvePnPRansac(..., 8.0, ...) (:209)
+        T, inl, n_inl = pnp_ransac(jnp.asarray(Xp), jnp.asarray(uvp),
+                                   jnp.asarray(vp), K, sub, inlier_px=8.0)
+        if int(device_get(n_inl)) < MIN_PNP_INLIERS:
+            return None
+        S = np.asarray(T, np.float64)
+        if not np.isfinite(S).all():
+            return None
+        return S    # rotation part is orthonormal -> Sim3 with scale 1
 
-        def backproject(uv, idepth):
-            z = 1.0 / np.maximum(idepth, 1e-6)
-            return np.stack([(uv[:, 0] - cx) / fx * z,
-                             (uv[:, 1] - cy) / fy * z, z], 1)
-
+    def _seed_umeyama(self, kf: FrameShell, cand: FrameShell,
+                      mi: np.ndarray, mj: np.ndarray):
+        """Fallback seed: Umeyama RANSAC on mutual-depth 3D-3D matches.
+        DEVIATION from the reference (which fails the candidate when PnP
+        fails): both frames carry inverse depths in LDSO, so 3D-3D
+        alignment observes scale directly and rescues candidates whose 2D
+        spread is too degenerate for DLT-PnP."""
         id_cur = kf.feat_idepth[mi]
         id_cand = cand.feat_idepth[mj]
         has3d = (id_cur > 0) & (id_cand > 0)
-        if has3d.sum() < MIN_SIM3_INLIERS:
-            return False
-
-        P_cand = backproject(cand.feat_uv[mj], id_cand)   # candidate frame
-        P_cur = backproject(kf.feat_uv[mi], id_cur)       # current frame
-
-        # pad the correspondence set to a pow-2 bucket (stable jit shapes)
+        if has3d.sum() < MIN_PNP_INLIERS:
+            return None
+        P_cand = self._backproject(cand.feat_uv[mj], id_cand)
+        P_cur = self._backproject(kf.feat_uv[mi], id_cur)
         n = len(mi)
-        nb = max(64, 1 << int(np.ceil(np.log2(max(n, 1)))))
+        nb = self._pad_pow2(n)
         padP = np.zeros((nb - n, 3), np.float32)
         P_cand_p = np.concatenate([P_cand.astype(np.float32), padP])
         P_cur_p = np.concatenate([P_cur.astype(np.float32), padP + 1.0])
         has3d_p = np.concatenate([has3d, np.zeros(nb - n, bool)])
-
         self.key, sub = jax.random.split(self.key)
-        S0, inl, n_inl = umeyama_ransac(
+        S0, _, n_inl = umeyama_ransac(
             jnp.asarray(P_cand_p), jnp.asarray(P_cur_p),
             jnp.asarray(has3d_p), sub)
         from ldso_tpu.utils.transfer import device_get
-        if int(device_get(n_inl)) < MIN_SIM3_INLIERS:
+        if int(device_get(n_inl)) < MIN_PNP_INLIERS:
+            return None
+        S = np.asarray(S0, np.float64)
+        return S if np.isfinite(S).all() else None
+
+    def _correct_loop(self, kf: FrameShell, cand: FrameShell) -> bool:
+        """SearchByBoW -> PnP seed -> projection re-match -> Sim3 GN ->
+        install poseRel edge (CorrectLoop + ComputeOptimizedPose,
+        LoopClosing.cc:145-496)."""
+        from ldso_tpu.loop import matcher
+        calib = self.calib
+        fx, fy = calib.fx[0], calib.fy[0]
+        cx, cy = calib.cx[0], calib.cy[0]
+        # records saved by older snapshots may lack orientations — degrade
+        # to a no-op rotation check rather than fail the candidate
+        for sh in (kf, cand):
+            if sh.feat_angle is None and sh.feat_uv is not None:
+                sh.feat_angle = np.zeros(len(sh.feat_uv), np.float32)
+
+        # 1. node-bucketed descriptor matching (SearchByBoW,
+        #    FeatureMatcher.cc:66-124; nnRatio=0.75 per CorrectLoop :148)
+        match = matcher.search_by_bow(kf.feat_desc, kf.feat_node,
+                                      cand.feat_desc, cand.feat_node)
+        mi = np.nonzero(match >= 0)[0]
+        if len(mi) < MIN_BOW_MATCHES:       # nmatches < 10 (:163)
+            return False
+        mj = match[mi]
+
+        # 2. seed Sim(3): PnP-RANSAC first (reference), 3D-3D fallback
+        S0 = self._seed_pnp(kf, cand, mi, mj)
+        if S0 is None:
+            S0 = self._seed_umeyama(kf, cand, mi, mj)
+        if S0 is None:
             return False
 
-        # refinement: 2D reprojection of candidate 3D into the current image
-        # (uses every match with candidate depth) + 3D-3D on mutual-depth ones
-        m2d = np.concatenate([(id_cand > 0).astype(np.float32),
+        # 3. ComputeOptimizedPose re-matching (:271-405): project EVERY
+        #    candidate feature with known depth through the seed into the
+        #    current image and re-match in a 5-px window; matched current
+        #    features must carry window idepth (the idepth-map gate)
+        ci = np.nonzero(cand.feat_idepth > 0)[0]
+        if len(ci) == 0:
+            return False
+        P_ref = self._backproject(cand.feat_uv[ci], cand.feat_idepth[ci])
+        pmatch = matcher.search_by_projection(
+            P_ref, cand.feat_desc[ci], cand.feat_angle[ci], S0,
+            kf.feat_uv, kf.feat_desc, kf.feat_angle, kf.feat_idepth,
+            (fx, fy, cx, cy), window_size=5.0)
+        pm = pmatch >= 0
+        if pm.sum() < MIN_BOW_MATCHES:      # nmatches < 10 (:407)
+            return False
+        j = pmatch[pm]
+        P_ref_m = P_ref[pm]                              # candidate frame 3D
+        uv_m = kf.feat_uv[j].astype(np.float32)          # current pixels
+        P_cur_m = self._backproject(kf.feat_uv[j], kf.feat_idepth[j])
+
+        # 4. Sim(3) GN: per match BOTH a 3D-3D edge (EdgePointSim3) and a
+        #    2D reprojection edge (EdgeProjectPoseOnlySim3), Huber, 10
+        #    iterations; gate 3D inliers >= 15; 10 more on inliers only
+        #    (LoopClosing.cc:415-489)
+        n = int(pm.sum())
+        nb = self._pad_pow2(n)
+        padP = np.zeros((nb - n, 3), np.float32)
+        P_ref_p = np.concatenate([P_ref_m.astype(np.float32), padP])
+        P_cur_p = np.concatenate([P_cur_m.astype(np.float32), padP + 1.0])
+        uv_p = np.concatenate([uv_m, np.zeros((nb - n, 2), np.float32)])
+        m_p = np.concatenate([np.ones(n, np.float32),
                               np.zeros(nb - n, np.float32)])
-        uv_cur = np.concatenate([kf.feat_uv[mi].astype(np.float32),
-                                 np.zeros((nb - n, 2), np.float32)])
-        S, H, inl2d, inl3d = refine_sim3(
-            S0, jnp.asarray(P_cand_p),
-            jnp.asarray(uv_cur), jnp.asarray(m2d),
-            jnp.asarray(P_cand_p), jnp.asarray(P_cur_p),
-            jnp.asarray(has3d_p.astype(np.float32)),
-            (fx, fy, cx, cy))
-        n_good = int(device_get(jnp.sum(inl2d) + jnp.sum(inl3d)))
-        if n_good < MIN_SIM3_INLIERS:
+        from ldso_tpu.utils.transfer import device_get
+        S0j = jnp.asarray(S0, jnp.float32)
+        S1, _, inl2d, inl3d = refine_sim3(
+            S0j, jnp.asarray(P_ref_p), jnp.asarray(uv_p), jnp.asarray(m_p),
+            jnp.asarray(P_ref_p), jnp.asarray(P_cur_p), jnp.asarray(m_p),
+            (fx, fy, cx, cy), iterations=10)
+        inl3d_np = np.asarray(device_get(inl3d))
+        if int(inl3d_np.sum()) < MIN_SIM3_INLIERS:   # inliers < 15 (:479)
             return False
+        m2 = (m_p * inl3d_np).astype(np.float32)
+        S, H, inl2d2, inl3d2 = refine_sim3(
+            S1, jnp.asarray(P_ref_p), jnp.asarray(uv_p), jnp.asarray(m2),
+            jnp.asarray(P_ref_p), jnp.asarray(P_cur_p), jnp.asarray(m2),
+            (fx, fy, cx, cy), iterations=10)
 
-        S_cur_cand = np.asarray(S, np.float64)   # maps candidate cam -> cur cam
+        S_cur_cand = np.asarray(S, np.float64)   # maps candidate cam -> cur
+        # scale sanity (LoopClosing.cc:488): nan / negative => failed opt
+        from ldso_tpu.math import lie
+        s = float(lie.sim3_scale(jnp.asarray(S_cur_cand)))
+        if not np.isfinite(s) or s <= 0 or not np.isfinite(S_cur_cand).all():
+            return False
         info = np.asarray(H, np.float64)
         # condition the information a bit (g2o receives the raw Hessian too)
         info = 0.5 * (info + info.T)

@@ -341,6 +341,53 @@ class Vocabulary:
                                nd, ch, leaf, wid, self.L, self.k)
         return np.where(valid_np, np.asarray(ids)[:n], -1)
 
+    # ------------------------------------------------------- feature vector
+    def _node_table(self, levelsup: int) -> np.ndarray:
+        """word id -> ancestor node id at depth (L - levelsup) from the root
+        (DBoW3 Vocabulary::transform's nid_level; root when <= 0). Cached."""
+        cache = getattr(self, "_node_tabs", None)
+        if cache is None:
+            cache = self._node_tabs = {}
+        tab = cache.get(levelsup)
+        if tab is not None:
+            return tab
+        M = len(self.word_id)
+        parent = np.full(M, -1, np.int64)
+        ch = self.children
+        rows, cols = np.nonzero(ch >= 0)
+        parent[ch[rows, cols]] = rows
+        # depths: iterate to fixpoint (no node-ordering assumption)
+        depth = np.full(M, -1, np.int64)
+        depth[0] = 0
+        for _ in range(self.L + 2):
+            has_p = parent >= 0
+            d_new = np.where(has_p & (depth[np.maximum(parent, 0)] >= 0),
+                             depth[np.maximum(parent, 0)] + 1, depth)
+            if (d_new == depth).all():
+                break
+            depth = d_new
+        nid_level = max(self.L - levelsup, 0)
+        node = np.arange(M, dtype=np.int64)
+        for _ in range(self.L + 1):
+            up = depth[node] > nid_level
+            node = np.where(up & (parent[node] >= 0), parent[node], node)
+        leaves = np.nonzero(self.is_leaf)[0]
+        tab = np.full(self.n_words, 0, np.int32)
+        tab[self.word_id[leaves]] = node[leaves].astype(np.int32)
+        cache[levelsup] = tab
+        return tab
+
+    def node_ids(self, word_ids: np.ndarray, levelsup: int = 4) -> np.ndarray:
+        """DBoW3 FeatureVector bucketing (Frame::ComputeBoW passes
+        levelsup=4, Frame.cc:101): per feature, the vocabulary-tree node
+        `levelsup` levels above the leaves. -1 stays -1."""
+        word_ids = np.asarray(word_ids, np.int64)
+        tab = self._node_table(levelsup)
+        out = np.full(len(word_ids), -1, np.int32)
+        ok = (word_ids >= 0) & (word_ids < self.n_words)
+        out[ok] = tab[word_ids[ok]]
+        return out
+
     def bow_vector(self, word_ids: np.ndarray) -> Dict[int, float]:
         """TF-IDF weighted, L1-normalized (DBoW3 WeightingType::TF_IDF)."""
         v: Dict[int, float] = {}

@@ -59,6 +59,10 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.hamming_match.argtypes = [c_u32p, ctypes.c_int, c_u32p,
                                       ctypes.c_int, ctypes.c_float,
                                       ctypes.c_int, c_i32p, c_i32p]
+        lib.bow_bucketed_match.argtypes = [c_u32p, c_i32p, ctypes.c_int,
+                                           c_u32p, c_i32p, ctypes.c_int,
+                                           ctypes.c_float, ctypes.c_int,
+                                           c_i32p, c_i32p]
         lib.db_create.restype = ctypes.c_void_p
         lib.db_destroy.argtypes = [ctypes.c_void_p]
         lib.db_add.argtypes = [ctypes.c_void_p, ctypes.c_int32, c_i32p,
@@ -109,6 +113,30 @@ def hamming_match(da: np.ndarray, db: np.ndarray, nn_ratio: float = 0.9,
                       _ptr(db, ctypes.c_uint32), len(db),
                       nn_ratio, th_low, _ptr(match, ctypes.c_int32),
                       _ptr(dist, ctypes.c_int32))
+    return match, dist
+
+
+def bow_bucketed_match(da: np.ndarray, nodes_a: np.ndarray,
+                       db: np.ndarray, nodes_b: np.ndarray,
+                       nn_ratio: float = 0.75, th_low: int = 50):
+    """SearchByBoW (FeatureMatcher.cc:66-124): match only within shared
+    vocabulary-tree nodes, NN-ratio per bucket. Returns (match, dist) or
+    None when the native library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    da = np.ascontiguousarray(da, np.uint32)
+    db = np.ascontiguousarray(db, np.uint32)
+    nodes_a = np.ascontiguousarray(nodes_a, np.int32)
+    nodes_b = np.ascontiguousarray(nodes_b, np.int32)
+    match = np.empty(len(da), np.int32)
+    dist = np.empty(len(da), np.int32)
+    lib.bow_bucketed_match(_ptr(da, ctypes.c_uint32),
+                           _ptr(nodes_a, ctypes.c_int32), len(da),
+                           _ptr(db, ctypes.c_uint32),
+                           _ptr(nodes_b, ctypes.c_int32), len(db),
+                           nn_ratio, th_low, _ptr(match, ctypes.c_int32),
+                           _ptr(dist, ctypes.c_int32))
     return match, dist
 
 

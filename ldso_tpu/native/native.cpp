@@ -82,6 +82,39 @@ void hamming_match(const uint32_t* da, int na, const uint32_t* db, int nb,
 }
 
 // ---------------------------------------------------------------------------
+// BoW-feature-vector-bucketed matching (FeatureMatcher::SearchByBoW,
+// FeatureMatcher.cc:66-124): features are matched only within the same
+// vocabulary-tree node (the DBoW3 FeatureVector bucket), with the NN-ratio
+// test applied per bucket. nodes == -1 features never match.
+// ---------------------------------------------------------------------------
+void bow_bucketed_match(const uint32_t* da, const int32_t* nodes_a, int na,
+                        const uint32_t* db, const int32_t* nodes_b, int nb,
+                        float nn_ratio, int th_low,
+                        int32_t* out_match, int32_t* out_dist) {
+    std::unordered_map<int32_t, std::vector<int>> buckets;
+    buckets.reserve(nb);
+    for (int j = 0; j < nb; j++)
+        if (nodes_b[j] >= 0) buckets[nodes_b[j]].push_back(j);
+    for (int i = 0; i < na; i++) {
+        out_match[i] = -1;
+        out_dist[i] = 1 << 30;
+        if (nodes_a[i] < 0) continue;
+        auto it = buckets.find(nodes_a[i]);
+        if (it == buckets.end()) continue;
+        int best = -1, d1 = 1 << 30, d2 = 1 << 30;
+        const uint32_t* a = da + 8 * i;
+        for (int j : it->second) {
+            int d = hamming256(a, db + 8 * j);
+            if (d < d1) { d2 = d1; d1 = d; best = j; }
+            else if (d < d2) { d2 = d; }
+        }
+        out_dist[i] = d1;
+        if (d1 <= th_low && (float)d1 < nn_ratio * (float)d2)
+            out_match[i] = best;
+    }
+}
+
+// ---------------------------------------------------------------------------
 // inverted-index database (handle-based)
 // ---------------------------------------------------------------------------
 struct BowDatabase {

@@ -53,6 +53,9 @@ class FrameShell:
     feat_uv: Optional[np.ndarray] = None       # (N,2)
     feat_desc: Optional[np.ndarray] = None     # (N,32) uint8
     feat_idepth: Optional[np.ndarray] = None   # (N,) -1 if unknown
+    feat_angle: Optional[np.ndarray] = None    # (N,) IC_Angle orientation
+    feat_word: Optional[np.ndarray] = None     # (N,) BoW word ids
+    feat_node: Optional[np.ndarray] = None     # (N,) FeatureVector node ids
     bow_vector: Optional[dict] = None
 
     def get_S_cw(self) -> np.ndarray:

@@ -178,6 +178,7 @@ class TestLoopClosing:
             v = np.asarray(feats["v"])[sel]
             kf.feat_uv = np.stack([u, v], 1)
             kf.feat_desc = np.asarray(feats["desc"])[sel]
+            kf.feat_angle = np.asarray(feats["angle"])[sel].astype(np.float32)
             kf.feat_idepth = (np.asarray(idep)[v.astype(int), u.astype(int)]
                               if fill_idepth else np.full(len(sel), -1.0))
             gm.add_keyframe(kf)
