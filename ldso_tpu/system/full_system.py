@@ -437,6 +437,8 @@ class FullSystem:
 
         self.tracker_ref: Optional[tracker.TrackerRef] = None
         self.tracker_ref_shell: Optional[FrameShell] = None
+        # atomic (ref, shell) snapshot read by concurrent tracking
+        self._tracker_ref_pair = (None, None)
         self.last_coarse_rmse = np.full(calib.levels, np.nan)
         self.first_coarse_rmse = -1.0
         self.current_min_act_dist = 2.0
@@ -653,7 +655,15 @@ class FullSystem:
         hypotheses — the pipelined retry path passes the frames preceding
         `shell` explicitly because all_frames has run ahead of it."""
         cfg, calib = self.cfg, self.calib
-        ref_shell = self.tracker_ref_shell
+        # single atomic load: the mapping thread can republish the pair
+        # mid-call (pipelined retry path) — never mix a new ref splat with
+        # the old shell pose or vice versa
+        tracker_ref, ref_shell = self._tracker_ref_pair
+        if tracker_ref is None:
+            tracker_ref, ref_shell = self.tracker_ref, self.tracker_ref_shell
+        # exposed so the pipelined caller can base its keyframe decision on
+        # the ref actually used by this (re)track
+        self._last_track_ref = ref_shell
         lastF_T = ref_shell.T_cw
 
         slast = sprelast = None
@@ -690,7 +700,7 @@ class FullSystem:
             host_expos[i] = fr.exposure or 1.0
         arena_out, pyr, packed_dev = _frame_step(
             jnp.asarray(image, jnp.float32), self.imm_arena,
-            self.tracker_ref, T0, aff0, jnp.float32(shell.exposure),
+            tracker_ref, T0, aff0, jnp.float32(shell.exposure),
             jnp.asarray(self.last_coarse_rmse[:nlv], jnp.float32),
             jnp.asarray(ref_shell.T_cw, jnp.float32),
             jnp.asarray(T_hosts, jnp.float32),
@@ -740,7 +750,7 @@ class FullSystem:
                     np.where(np.isfinite(achieved), achieved, 1e9), jnp.float32)
                 T_batch = jnp.asarray(np.stack(chunk), jnp.float32)
                 Tb, affb, okb, resb, flowb = tracker.track_frame_hypotheses(
-                    self.tracker_ref, pyr, T_batch, aff0,
+                    tracker_ref, pyr, T_batch, aff0,
                     jnp.float32(shell.exposure), min_abort, calib, cfg,
                     coarsest)
                 okn = device_get(okb)
@@ -1057,8 +1067,11 @@ class FullSystem:
             packed.copy_to_host_async()
             # the tracker reference splat must see the window BEFORE point
             # marginalization (reference order: setCoarseTrackingRef at
-            # :507-514 precedes flagPointsForRemoval/marginalizePointsF)
-            self._update_tracker_ref()
+            # :507-514 precedes flagPointsForRemoval/marginalizePointsF) —
+            # but it is only PUBLISHED after the post-BA poses land on the
+            # shells below, so the pipelined tracker never pairs the new
+            # splat with pre-BA shell poses
+            pending_tracker_ref = self._dispatch_tracker_ref()
             # queue the fused point-marginalization program on the device
             # masks directly — it computes while the post-BA pull flies home
             marg_handle = self.ef.marginalize_and_drop_dispatch(
@@ -1091,6 +1104,9 @@ class FullSystem:
             sh.aff = A[i].copy()
             if sh.kf_id >= self.global_map.latest_optimized_kf_id:
                 sh.S_cw = sh.T_cw.copy()
+        # shells now carry post-BA poses: safe to let the tracking thread
+        # see the new reference
+        self._publish_tracker_ref(pending_tracker_ref)
         # point retirement: the fused program was dispatched before the
         # post-BA pull; its result landed with it (relinearize + FEJ-fix +
         # quality gate + Schur-marginalize + drop; previously 3 pulls)
@@ -1173,15 +1189,6 @@ class FullSystem:
             self._trace_new_coarse(shell, pyr)
         self._traced_this_frame = False
 
-    def _remove_outliers(self):
-        """Points with no remaining residuals -> dropped (:1402-1420)."""
-        W = self.ef.W
-        nres = np.asarray(jnp.sum(W.res_exist, axis=1))
-        bad = self.ef.pt_valid_np & (nres == 0)
-        if bad.any():
-            self._count_dead(bad)
-            self.ef.drop_points(jnp.asarray(bad), bad)
-
     def _count_dead(self, mask: np.ndarray):
         hosts = self.ef.pt_host_np[mask]
         for h in hosts:
@@ -1234,27 +1241,41 @@ class FullSystem:
         if mask.any():
             self._record_marginalized_points(mask)
 
-    def _update_tracker_ref(self):
-        """setCoarseTrackingRef + makeCoarseDepthL0 (CoarseTracker.cc:240-438).
-        Projections come from the BA's centerProjectedTo toward the newest
-        keyframe."""
+    def _dispatch_tracker_ref(self):
+        """Device half of setCoarseTrackingRef + makeCoarseDepthL0
+        (CoarseTracker.cc:240-438): splat the post-BA window idepths into the
+        newest keyframe's pyramid. Returns the (ref, shell) pair WITHOUT
+        publishing it — the concurrent tracking thread must only see the new
+        ref once the post-BA poses have been synced onto the shells
+        (reference: setCoarseTrackingRef at FullSystem.cc:507-514 runs after
+        the BA wrote shell poses), else a frame dispatched in the window
+        between BA and pose sync pairs the new splat with a stale T_cw."""
         W = self.ef.W
         nf = len(self.window_frames)
         newest = nf - 1
         u, v, idep, weight, valid, ref_aff = _tracker_ref_inputs(
             W, jnp.int32(newest))
         newest_shell = self.window_frames[newest]
-        self.tracker_ref = tracker.make_tracker_ref(
+        ref = tracker.make_tracker_ref(
             u, v, idep, weight, valid,
             self.window_pyrs[newest].dI,
             jnp.float32(newest_shell.exposure), ref_aff,
             self.calib, self.cfg.tracker_caps[:self.calib.levels])
+        return ref, newest_shell
+
+    def _publish_tracker_ref(self, pair):
+        """Publish an atomic (ref, shell) snapshot for the pipelined tracking
+        thread: one attribute assignment so a concurrent reader never sees a
+        new ref paired with the old shell."""
+        ref, newest_shell = pair
+        self.tracker_ref = ref
         self.tracker_ref_shell = newest_shell
-        # atomic (ref, shell) snapshot for the pipelined tracking thread:
-        # one attribute assignment so a concurrent reader never sees a new
-        # ref paired with the old shell
-        self._tracker_ref_pair = (self.tracker_ref, newest_shell)
+        self._tracker_ref_pair = pair
         self.first_coarse_rmse = -1.0
+
+    def _update_tracker_ref(self):
+        """Dispatch + publish in one step (synchronous-mode path)."""
+        self._publish_tracker_ref(self._dispatch_tracker_ref())
 
     def _make_new_traces(self, shell: FrameShell, pyr: FramePyramid, idx: int):
         """makeNewTraces (:1272-1324): candidate selection per

@@ -136,6 +136,11 @@ class AsyncPipeline:
                 if not ok:
                     fs.is_lost = True
                     return
+                # the retrack ran against the CURRENT tracker ref, so the
+                # flow/affine quantities on the shell are relative to it —
+                # base the keyframe decision on the same ref, not the
+                # dispatch-time one
+                ref_shell = fs._last_track_ref
             self._sprelast, self._slast = self._slast, shell
             need_kf = fs._keyframe_decision(shell, ref=ref_shell)
             with self.cond:
