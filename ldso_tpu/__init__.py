@@ -34,11 +34,15 @@ jax.config.update("jax_default_matmul_precision", "highest")
 # 8 MB stack (observed as flaky SIGSEGVs inside backend_compile_and_load,
 # both on worker threads and on the main thread). Raising the soft rlimit
 # lets the main thread's stack grow past it; worker threads additionally
-# get an explicit 64 MB stack where the package spawns them.
+# get an explicit 64 MB stack where the package spawns them. 64 MB matches
+# the explicitly-sized worker stacks (enough for the observed compile
+# recursion) — on glibc the soft limit becomes the DEFAULT reservation for
+# every thread created afterwards, so a larger value would multiply across
+# XLA's thread pools.
 try:
     import resource as _resource
     _soft, _hard = _resource.getrlimit(_resource.RLIMIT_STACK)
-    _want = 512 * 1024 * 1024
+    _want = 64 * 1024 * 1024
     if _soft != _resource.RLIM_INFINITY and _soft < _want:
         _new = _want if _hard == _resource.RLIM_INFINITY else min(_want, _hard)
         _resource.setrlimit(_resource.RLIMIT_STACK, (_new, _hard))

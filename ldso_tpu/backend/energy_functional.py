@@ -669,7 +669,10 @@ class EnergyFunctional:
                     Ub[i] /= max(S[i], 1e-20)
             x = SVecI * (Vt.T @ Ub)
         else:
-            SVecI = 1.0 / np.sqrt(np.diag(HFinal) + 10.0)
+            # abs() guards a (numerically) negative diagonal, matching the
+            # device solver (ba_device.py) — a raw sqrt silently NaNs the
+            # whole solve on one bad entry.
+            SVecI = 1.0 / np.sqrt(np.abs(np.diag(HFinal)) + 10.0)
             Hs = SVecI[:, None] * HFinal * SVecI[None, :]
             bs = SVecI * bFinal
             x = SVecI * np.linalg.solve(Hs, bs)
