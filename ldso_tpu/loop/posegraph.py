@@ -7,10 +7,22 @@ EdgeSim3 with error e = log(Z^-1 * S_i * S_j^-1)).
 
 Where g2o builds a sparse block system with numeric Jacobians on 1 CPU
 thread, here every edge residual AND its two 7x7 Jacobian blocks come from
-one vmapped jacfwd, the dense (7N)^2 system is assembled by scatter-adds,
-and the Gauss-Newton loop runs as `lax.fori_loop` on device. Graphs at
-KITTI-00 scale (~1400 KFs, dense 9800^2 f32 H) fit HBM comfortably and
-solve in milliseconds on the MXU.
+one vmapped jacfwd and the Gauss-Newton loop runs as `lax.fori_loop` on
+device. Two solver paths share that linearization:
+
+* dense (`optimize_pose_graph`): the (7N)^2 system is assembled by
+  scatter-adds and solved exactly. Memory is 49 N^2 * 4 bytes — ~0.4 GB at
+  KITTI-00 scale (1400 KFs), ~5 GB at 5k KFs; fast and exact up to a few
+  thousand vertices.
+* matrix-free PCG (`optimize_pose_graph_cg`): never forms H. Each
+  conjugate-gradient step applies H edge-wise (gather x at the two
+  endpoints, apply the cached 7x7 blocks, scatter-add) with a block-Jacobi
+  preconditioner, O(49 E + 7 N) memory — the TPU analogue of g2o's sparse
+  CSparse/CHOLMOD backend (Map.cc:83-88 BlockSolver_7_3), scaling to
+  arbitrarily long trajectories.
+
+`run_pose_graph` picks the dense path below `_DENSE_MAX_VERTICES` padded
+vertices and PCG above it.
 """
 
 from __future__ import annotations
@@ -100,6 +112,88 @@ def optimize_pose_graph(S_init: jax.Array, fixed: jax.Array,
     return jax.lax.fori_loop(0, iterations, gn_step, S_init)
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("iterations", "damping", "cg_iters"))
+def optimize_pose_graph_cg(S_init: jax.Array, fixed: jax.Array,
+                           e_i: jax.Array, e_j: jax.Array,
+                           Z: jax.Array, info: jax.Array,
+                           edge_valid: jax.Array,
+                           iterations: int = 25, damping: float = 1e-6,
+                           cg_iters: int = 100):
+    """Same Gauss-Newton outer loop as `optimize_pose_graph`, but each
+    linear solve is matrix-free preconditioned CG: H is applied edge-wise
+    from the cached (E,7,7) blocks, never assembled. Block-Jacobi
+    preconditioner from the (N,7,7) diagonal blocks. O(E) memory."""
+    N = S_init.shape[0]
+    dtype = S_init.dtype
+    Z_inv = lie.sim3_inv(Z)
+    free = (~fixed).astype(dtype)[:, None]          # (N,1)
+
+    def gn_step(_, S):
+        e, Ji, Jj = jax.vmap(_edge_res_jac)(S[e_i], S[e_j], Z_inv)
+        w = edge_valid.astype(dtype)[:, None, None]
+        info_w = info * w
+
+        Hii = jnp.einsum("eki,ekl,elj->eij", Ji, info_w, Ji)
+        Hjj = jnp.einsum("eki,ekl,elj->eij", Jj, info_w, Jj)
+        Hij = jnp.einsum("eki,ekl,elj->eij", Ji, info_w, Jj)
+        bi = jnp.einsum("eki,ekl,el->ei", Ji, info_w, e)
+        bj = jnp.einsum("eki,ekl,el->ei", Jj, info_w, e)
+        b = jnp.zeros((N, 7), dtype).at[e_i].add(bi).at[e_j].add(bj)
+        b = -b * free
+
+        # block diagonal (with damping) and its inverse = preconditioner
+        D = jnp.zeros((N, 7, 7), dtype).at[e_i].add(Hii).at[e_j].add(Hjj)
+        D = D + damping * jnp.eye(7, dtype=dtype)
+        # fixed vertices: identity blocks so the inverse stays finite
+        D = jnp.where(free[:, :, None] > 0, D, jnp.eye(7, dtype=dtype))
+        Minv = jnp.linalg.inv(D)
+
+        def hmul(x):
+            """(N,7) -> (N,7): (H + damping I) x on the free subspace."""
+            xm = x * free
+            xi, xj = xm[e_i], xm[e_j]
+            yi = jnp.einsum("eij,ej->ei", Hii, xi) \
+                + jnp.einsum("eij,ej->ei", Hij, xj)
+            yj = jnp.einsum("eji,ej->ei", Hij, xi) \
+                + jnp.einsum("eij,ej->ei", Hjj, xj)
+            y = jnp.zeros((N, 7), dtype).at[e_i].add(yi).at[e_j].add(yj)
+            return (y + damping * xm) * free
+
+        def pc(r):
+            return jnp.einsum("nij,nj->ni", Minv, r) * free
+
+        # standard PCG from x = 0
+        r0 = b
+        z0 = pc(r0)
+        p0 = z0
+        rz0 = jnp.vdot(r0, z0)
+
+        def cg_body(_, st):
+            x, r, p, rz = st
+            Ap = hmul(p)
+            pAp = jnp.vdot(p, Ap)
+            alpha = jnp.where(pAp > 1e-20, rz / pAp, 0.0)
+            x = x + alpha * p
+            r = r - alpha * Ap
+            z = pc(r)
+            rz_new = jnp.vdot(r, z)
+            beta = jnp.where(rz > 1e-20, rz_new / rz, 0.0)
+            p = z + beta * p
+            return x, r, p, rz_new
+
+        x0 = jnp.zeros((N, 7), dtype)
+        delta, _, _, _ = jax.lax.fori_loop(
+            0, cg_iters, cg_body, (x0, r0, p0, rz0))
+        delta = jnp.where(jnp.isfinite(delta), delta, 0.0) * free
+        return lie.sim3_exp(delta) @ S
+
+    return jax.lax.fori_loop(0, iterations, gn_step, S_init)
+
+
+_DENSE_MAX_VERTICES = 1024      # padded; above this run_pose_graph uses PCG
+
+
 def _pow2(n: int, lo: int = 16) -> int:
     import math
     return max(lo, 1 << int(math.ceil(math.log2(max(n, 1)))))
@@ -154,7 +248,9 @@ def run_pose_graph(global_map, cfg=None, iterations: int = 25):
     eip[E:] = N - 1  # fixed vertex
     ejp[E:] = N - 1
 
-    S_new = optimize_pose_graph(
+    solver = (optimize_pose_graph if Nb <= _DENSE_MAX_VERTICES
+              else optimize_pose_graph_cg)
+    S_new = solver(
         jnp.asarray(S), jnp.asarray(fixed),
         jnp.asarray(eip), jnp.asarray(ejp),
         jnp.asarray(Zp), jnp.asarray(infop),

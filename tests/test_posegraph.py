@@ -104,5 +104,72 @@ class TestPoseGraph:
         np.testing.assert_allclose(kfs[-1].get_S_cw(), est[-1], atol=1e-10)
 
 
+class TestPoseGraphCG:
+    """Matrix-free PCG path (posegraph.optimize_pose_graph_cg): must agree
+    with the dense exact solver and scale past the dense memory wall."""
+
+    def _system(self, n, drift, sigma_drift=0.0):
+        gt = _circle_gt(n)
+        est = _drifted_odometry(gt, drift, sigma_drift)
+        N = n
+        S = np.stack(est)
+        fixed = np.zeros(N, bool)
+        fixed[N - 1] = True
+        ei = np.arange(1, N, dtype=np.int32)
+        ej = np.arange(0, N - 1, dtype=np.int32)
+        Z = np.stack([est[k] @ np.linalg.inv(est[k - 1])
+                      for k in range(1, N)])
+        # loop edge 0 <- N-1 from ground truth
+        ei = np.concatenate([ei, [0]]).astype(np.int32)
+        ej = np.concatenate([ej, [N - 1]]).astype(np.int32)
+        Z = np.concatenate([Z, (gt[0] @ np.linalg.inv(gt[-1]))[None]])
+        E = len(ei)
+        info = np.tile(np.eye(7), (E, 1, 1))
+        valid = np.ones(E, bool)
+        return (jnp.asarray(S), jnp.asarray(fixed), jnp.asarray(ei),
+                jnp.asarray(ej), jnp.asarray(Z), jnp.asarray(info),
+                jnp.asarray(valid)), gt
+
+    def test_cg_matches_dense(self):
+        drift = np.array([2e-3, -1e-3, 0.0, 0.0, 0.0, 1.5e-3])
+        args, gt = self._system(24, drift, sigma_drift=0.003)
+        S_dense = np.asarray(posegraph.optimize_pose_graph(
+            *args, iterations=15))
+        S_cg = np.asarray(posegraph.optimize_pose_graph_cg(
+            *args, iterations=15, cg_iters=150))
+        for k in range(24):
+            e = np.asarray(lie.sim3_log(jnp.asarray(
+                S_cg[k] @ np.linalg.inv(S_dense[k]))))
+            assert np.linalg.norm(e) < 1e-3, \
+                f"vertex {k}: CG vs dense {np.linalg.norm(e):.2e}"
+
+    def test_large_graph_uses_cg_and_converges(self):
+        """1500 KFs pads to 2048 > _DENSE_MAX_VERTICES: run_pose_graph must
+        take the O(E)-memory path and still close the loop (dense H here
+        would be (7*2048)^2 f32 = 0.8 GB per temporary)."""
+        n = 1500
+        gt = _circle_gt(n)
+        drift = np.array([2e-5, -1e-5, 0.0, 0.0, 0.0, 2e-5])
+        est = _drifted_odometry(gt, drift)
+        gm = GlobalMap()
+        for k in range(n):
+            gm.add_keyframe(FrameShell(id=k, kf_id=k, T_cw=est[k]))
+        kfs = gm.get_all_kfs()
+        for k in range(1, n):
+            kfs[k].add_pose_rel(k - 1, est[k] @ np.linalg.inv(est[k - 1]))
+        kfs[0].add_pose_rel(n - 1, gt[0] @ np.linalg.inv(gt[-1]),
+                            is_loop=True)
+        posegraph.run_pose_graph(gm, iterations=8)
+        # the loop edge must be (mostly) satisfied after PGO
+        Z = gt[0] @ np.linalg.inv(gt[-1])
+        e = np.asarray(lie.sim3_log(jnp.asarray(
+            np.linalg.inv(Z) @ kfs[0].get_S_cw()
+            @ np.linalg.inv(kfs[-1].get_S_cw()))))
+        pre = np.asarray(lie.sim3_log(jnp.asarray(
+            np.linalg.inv(Z) @ est[0] @ np.linalg.inv(est[-1]))))
+        assert np.linalg.norm(e) < 0.1 * np.linalg.norm(pre), \
+            f"loop residual {np.linalg.norm(e):.4f} vs pre {np.linalg.norm(pre):.4f}"
+
+
 if __name__ == "__main__":
     pytest.main([__file__, "-q", "-x"])
