@@ -12,6 +12,10 @@ Prints ONE JSON line:
 Baseline: the reference, built from source and measured on this
 container's CPU over the SAME synthetic trajectory: 54.0 ms/frame =
 18.5 fps pure DSO (BASELINE.md "Measured reference numbers").
+
+Every mode is measured in 3 consecutive windows and reports the MEDIAN
+(tunnel latency to the axon TPU has ±2x "weather"; medians within one
+process are the stable statistic — see BASELINE.md methodology).
 """
 
 import json
@@ -79,21 +83,28 @@ def main():
             jnp.full((calib.levels,), 1e9, jnp.float32),
             calib, cfg, calib.levels - 1))
 
-    t0 = time.time()
-    for i in range(n_warm, N):
-        fs.add_active_frame(images[i], i, 1.0, i * 0.05)
+    sync_windows = []
+    w = n_meas // 3
+    for k in range(3):
+        lo, hi = n_warm + k * w, n_warm + (k + 1) * w
+        t0 = time.time()
+        for i in range(lo, hi):
+            fs.add_active_frame(images[i], i, 1.0, i * 0.05)
+            if fs.is_lost:
+                break
+        sync_windows.append(w / max(time.time() - t0, 1e-9))
         if fs.is_lost:
             break
-    elapsed = time.time() - t0
     n_done = len([f for f in fs.all_frames if f.id >= n_warm])
-    fps = n_done / max(elapsed, 1e-9)
+    fps = float(np.median(sync_windows))
 
     # ---- pipelined mode: tracking overlaps mapping on its own thread, the
     # reference's actual run configuration (deliverTrackedFrame/mappingLoop,
     # FullSystem.cc:160-177,1809-1870); non-KFs may drop under load exactly
     # like the reference's catch-up logic -----------------------------------
     from ldso_tpu.system.pipeline import AsyncPipeline
-    n_piped = 2 * n_meas          # longer phase: amortize the final drain
+    n_pw = n_meas                 # frames per measured pipelined window
+    n_piped = 3 * n_pw
     more = []
     for i in range(N, N + n_piped):
         t = np.array([0.03 * i, 0.01 * np.sin(0.2 * i), 0.004 * i])
@@ -102,14 +113,19 @@ def main():
         poses.append(np.linalg.inv(T_wc))
         img, _ = scene.render(calib, jnp.asarray(poses[-1], jnp.float32))
         more.append(np.asarray(img))
-    pipe = AsyncPipeline(fs)
-    t0 = time.time()
-    for k, i in enumerate(range(N, N + n_piped)):
-        pipe.add_active_frame(more[k], i, 1.0, i * 0.05)
+    piped_windows = []
+    for wk in range(3):
+        pipe = AsyncPipeline(fs)
+        t0 = time.time()
+        for k in range(wk * n_pw, (wk + 1) * n_pw):
+            pipe.add_active_frame(more[k], N + k, 1.0, (N + k) * 0.05)
+            if fs.is_lost:
+                break
+        pipe.block_until_mapping_is_finished()
+        piped_windows.append(n_pw / max(time.time() - t0, 1e-9))
         if fs.is_lost:
             break
-    pipe.block_until_mapping_is_finished()
-    piped_fps = n_piped / max(time.time() - t0, 1e-9)
+    piped_fps = float(np.median(piped_windows))
 
     # sanity: trajectory quality (similarity-aligned ATE) over the
     # synchronous portion (the pipelined extension drops frames
@@ -150,7 +166,9 @@ def main():
         "vs_baseline": round(piped_fps / baseline_fps, 3),
         "ate_m_sim_aligned": round(ate, 5),
         "frames_measured": n_done,
+        "piped_fps_windows": [round(x, 2) for x in piped_windows],
         "sync_fps": round(fps, 2),
+        "sync_fps_windows": [round(x, 2) for x in sync_windows],
         "aggregate_vo_fps_8seq": round(agg_fps, 2),
         "batched_tracking_fps_16seq": round(batched_fps, 1),
         "device": str(jax.devices()[0]),
@@ -200,8 +218,6 @@ def _bench_multi_sequence_vo(cfg, calib, scene, S: int = 8,
     [t.start() for t in th]
     [t.join() for t in th]
 
-    pipes = [AsyncPipeline(fs) for fs in systems]
-
     def piped_range(pipe, imgs, lo, hi):
         for i in range(lo, hi):
             pipe.add_active_frame(imgs[i], i, 1.0, i * 0.05)
@@ -209,15 +225,25 @@ def _bench_multi_sequence_vo(cfg, calib, scene, S: int = 8,
                 break
         pipe.block_until_mapping_is_finished()
 
-    t0 = time.time()
-    th = [threading.Thread(target=piped_range,
-                           args=(pipes[k], seq_images[k], n_warm, N))
-          for k in range(S)]
-    [t.start() for t in th]
-    [t.join() for t in th]
-    done = sum(len([f for f in fs.all_frames if f.id >= n_warm])
-               for fs in systems)
-    return done / max(time.time() - t0, 1e-9)
+    # 3 measured windows (median): each window drives all S pipelines over
+    # a third of the measured range
+    w = n_meas // 3
+    windows = []
+    for wk in range(3):
+        lo, hi = n_warm + wk * w, n_warm + (wk + 1) * w
+        pipes = [AsyncPipeline(fs) for fs in systems]
+        before = sum(len([f for f in fs.all_frames if f.id >= n_warm])
+                     for fs in systems)
+        t0 = time.time()
+        th = [threading.Thread(target=piped_range,
+                               args=(pipes[k], seq_images[k], lo, hi))
+              for k in range(S)]
+        [t.start() for t in th]
+        [t.join() for t in th]
+        done = sum(len([f for f in fs.all_frames if f.id >= n_warm])
+                   for fs in systems) - before
+        windows.append(done / max(time.time() - t0, 1e-9))
+    return float(np.median(windows))
 
 
 def _bench_batched_tracking(B: int = 16, n_iters: int = 30) -> float:

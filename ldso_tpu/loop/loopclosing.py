@@ -81,23 +81,28 @@ class LoopClosing:
         kf.feat_desc = desc[sel]
         kf.feat_angle = angle[sel].astype(np.float32)
         kf.feat_idepth = np.full(len(sel), -1.0, np.float32)
-        # nearest active point within 3 px provides idepth (vectorized:
-        # one kd-tree query over all features)
+        # nearest active point within 1.5 px provides idepth (vectorized:
+        # one kd-tree query over all features). The radius mirrors the
+        # reference's 1-px-DILATED idepth map (LoopClosing.cc:277-318):
+        # a wider attach (3 px was tried) borrows depths from points too
+        # far off the feature's ray and inflates the loop Sim3 measurement
+        # noise above the drift it is supposed to correct.
         if point_uv_idepth is not None and len(point_uv_idepth) \
                 and len(sel):
             puv = point_uv_idepth[:, :2]
             pid = point_uv_idepth[:, 2]
+            r = 1.5
             try:
                 from scipy.spatial import cKDTree
                 d, j = cKDTree(puv).query(kf.feat_uv,
-                                          distance_upper_bound=3.0)
+                                          distance_upper_bound=r)
                 found = np.isfinite(d)
                 kf.feat_idepth[found] = pid[j[found]]
             except ImportError:
                 d2 = ((puv[None, :, 0] - kf.feat_uv[:, 0:1]) ** 2
                       + (puv[None, :, 1] - kf.feat_uv[:, 1:2]) ** 2)
                 j = np.argmin(d2, axis=1)
-                found = d2[np.arange(len(sel)), j] < 9.0
+                found = d2[np.arange(len(sel)), j] < r * r
                 kf.feat_idepth[found] = pid[j[found]]
 
     def _ensure_vocab(self, kf: FrameShell):

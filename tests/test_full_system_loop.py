@@ -56,6 +56,80 @@ class TestLoopVO:
             s = float(lie.sim3_scale(jnp.asarray(kf.get_S_cw())))
             assert 0.5 < s < 2.0
 
+        # ---- loop closure must CORRECT accumulated drift (the reference's
+        # results.txt vs results.txt.noloop contract, README.md:97-99;
+        # run_dso_tum_mono.cc:432-433). The clean synthetic run drifts less
+        # than the loop measurement noise, so inject monocular-style drift
+        # into the stored poses and odometry edges. The live-path loop
+        # edges (S_rel, Hessian info) are measured purely from per-KF
+        # features + depths — pose-independent — so they stay valid, which
+        # is exactly the drift model: local geometry good, global poses
+        # drifted.
+        kfs = fs.global_map.get_all_kfs()
+        gt = {kf.id: poses[kf.id] for kf in kfs}
+        orig = [kf.T_cw.copy() for kf in kfs]
+        D7 = np.array([4e-3, -3e-3, 2e-3, 1e-3, -5e-4, 8e-4, 3e-3])
+        D = np.asarray(lie.sim3_exp(jnp.asarray(D7)))
+        drifted = [orig[0].copy()]
+        for k in range(1, len(kfs)):
+            rel = orig[k] @ np.linalg.inv(orig[k - 1])
+            drifted.append(D @ rel @ drifted[-1])
+        for k, kf in enumerate(kfs):
+            kf.T_cw = drifted[k]
+            kf.S_cw = drifted[k].copy()
+            for oid in list(kf.pose_rel.keys()):
+                S_rel, info, il = kf.pose_rel[oid]
+                if il:
+                    continue            # loop measurements stay as measured
+                other = fs.global_map.keyframes[oid]
+                kidx = next(i for i, K in enumerate(kfs)
+                            if K.kf_id == other.kf_id)
+                kf.pose_rel[oid] = (drifted[k] @ np.linalg.inv(drifted[kidx]),
+                                    info, il)
+
+        def ate(mats):
+            est_c = np.stack([np.linalg.inv(T)[:3, 3] for T in mats])
+            gt_c = np.stack([np.linalg.inv(gt[kf.id])[:3, 3] for kf in kfs])
+            ec = est_c - est_c.mean(0)
+            gc = gt_c - gt_c.mean(0)
+            s = np.sqrt((gc ** 2).sum() / max((ec ** 2).sum(), 1e-12))
+            U, _, Vt = np.linalg.svd(ec.T @ gc)
+            R = (U @ Vt).T
+            return float(np.sqrt(np.mean(
+                np.sum((gc - s * (ec @ R.T)) ** 2, 1))))
+
+        def loop_residual(get_pose):
+            """Max Sim3 log-norm over loop edges: |log(Z^-1 Si Sj^-1)|."""
+            r = 0.0
+            for kf in kfs:
+                for oid, (Z, _info, il) in kf.pose_rel.items():
+                    if not il or oid not in fs.global_map.keyframes:
+                        continue
+                    other = fs.global_map.keyframes[oid]
+                    e = lie.sim3_log(jnp.asarray(
+                        np.linalg.inv(Z) @ get_pose(kf)
+                        @ np.linalg.inv(get_pose(other))))
+                    r = max(r, float(np.linalg.norm(np.asarray(e))))
+            return r
+
+        ate_odo = ate(drifted)
+        assert ate_odo > 0.01, "drift injection too small to be meaningful"
+        res_odo = loop_residual(lambda kf: kf.T_cw)
+        from ldso_tpu.loop import posegraph
+        posegraph.run_pose_graph(fs.global_map)
+        ate_loop = ate([kf.get_S_cw() for kf in kfs])
+        # With a single loop edge the interior of the chain still bows
+        # between the pinned ends (same as the reference's PGO), so the
+        # achievable global-ATE reduction is bounded; the loop-edge
+        # residual itself must collapse.
+        assert ate_loop < 0.75 * ate_odo, \
+            (f"PGO did not correct drift: ATE loop {ate_loop*1000:.1f}mm vs "
+             f"odometry {ate_odo*1000:.1f}mm")
+        res_loop = loop_residual(lambda kf: kf.get_S_cw())
+        assert res_loop < 0.3 * res_odo, \
+            (f"loop-edge residual not reduced: {res_loop:.4f} vs "
+             f"{res_odo:.4f} pre-PGO")
+
 
 if __name__ == "__main__":
     pytest.main([__file__, "-q", "-x"])
