@@ -25,6 +25,14 @@ import time
 import numpy as np
 
 
+def _quant8(img) -> np.ndarray:
+    """Quantize a rendered float image to raw 8-bit intensities — the
+    reference's own input depth (its readers decode 8-bit PNGs,
+    ImageRW_OpenCV.cc); uint8 frames also cross the host->device link 4x
+    cheaper than float32, which bounds per-frame cost behind the tunnel."""
+    return np.clip(np.round(np.asarray(img)), 0, 255).astype(np.uint8)
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -55,7 +63,7 @@ def main():
     images = []
     for T in poses:
         img, _ = scene.render(calib, jnp.asarray(T, jnp.float32))
-        images.append(np.asarray(img))
+        images.append(_quant8(img))
 
     fs = FullSystem(calib, cfg)
     for i in range(n_warm):
@@ -74,7 +82,7 @@ def main():
     tries = _motion_hypotheses(np.eye(4), np.eye(4))
     if len(tries) > 1 and fs.tracker_ref is not None:
         from ldso_tpu.ops.preprocess import make_pyramid
-        pyr = make_pyramid(jnp.asarray(images[n_warm - 1], jnp.float32),
+        pyr = make_pyramid(jnp.asarray(images[n_warm - 1]),
                            calib.levels, None)
         jax.block_until_ready(tracker.track_frame_hypotheses(
             fs.tracker_ref, pyr,
@@ -112,7 +120,7 @@ def main():
         T_wc = np.asarray(lie.se3_exp(jnp.asarray(np.concatenate([t, w]))))
         poses.append(np.linalg.inv(T_wc))
         img, _ = scene.render(calib, jnp.asarray(poses[-1], jnp.float32))
-        more.append(np.asarray(img))
+        more.append(_quant8(img))
     piped_windows = []
     for wk in range(3):
         pipe = AsyncPipeline(fs)
@@ -200,7 +208,7 @@ def _bench_multi_sequence_vo(cfg, calib, scene, S: int = 8,
             T_wc = np.asarray(_lie.se3_exp(jnp.asarray(np.concatenate([t, w]))))
             img, _ = scene.render(calib, jnp.asarray(np.linalg.inv(T_wc),
                                                      jnp.float32))
-            imgs.append(np.asarray(img))
+            imgs.append(_quant8(img))
         seq_images.append(imgs)
 
     systems = [FullSystem(calib, cfg) for _ in range(S)]

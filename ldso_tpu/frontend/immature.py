@@ -498,12 +498,81 @@ def trace_arena(arena: ImmatureArena, dI_target: jax.Array, KRKis, Kts, affs,
     return arena._replace(pool=traced._replace(valid=arena.pool.valid))
 
 
+def trace_arena_prefix(arena: ImmatureArena, dI_target: jax.Array,
+                       KRKis, Kts, affs, calib: Calibration, cfg: Config,
+                       n: int) -> ImmatureArena:
+    """trace_arena restricted to the first `n` lanes (jit-traceable body).
+
+    `arena_compact` keeps live candidates in a contiguous prefix, so the
+    caller can bound `n` by the live count (rounded up to a bucket) and
+    the trace lattice shrinks from capacity x steps x pattern to
+    ~live x steps x pattern — the hottest per-frame gather program
+    (measured 13.5 ms at 4096 lanes for ~500 live candidates)."""
+    if n >= arena.host.shape[0]:
+        return trace_arena(arena, dI_target, KRKis, Kts, affs, calib, cfg)
+    pre = ImmatureArena(
+        pool=ImmaturePool(*[x[:n] for x in arena.pool]),
+        host=arena.host[:n])
+    traced = trace_arena(pre, dI_target, KRKis, Kts, affs, calib, cfg)
+    return ImmatureArena(
+        pool=ImmaturePool(*[f.at[:n].set(t) for f, t
+                            in zip(arena.pool, traced.pool)]),
+        host=arena.host)
+
+
+@functools.partial(jax.jit, static_argnames=("calib", "cfg", "n"))
+def trace_arena_sized(arena: ImmatureArena, dI_target: jax.Array,
+                      KRKis, Kts, affs, calib: Calibration, cfg: Config,
+                      n: int) -> ImmatureArena:
+    """Dispatchable wrapper of trace_arena_prefix (host retry path)."""
+    return trace_arena_prefix(arena, dI_target, KRKis, Kts, affs,
+                              calib, cfg, n)
+
+
+@jax.jit
+def arena_compact(arena: ImmatureArena) -> ImmatureArena:
+    """Stable-partition live candidates into a contiguous prefix.
+
+    Run right before `arena_add` at keyframe creation: arena_add fills the
+    lowest free slots, which after compaction are exactly the tail, so
+    live lanes remain a prefix whose length is the live count pulled by
+    `arena_counts` at the end of the keyframe — the watermark the
+    per-frame trace uses to pick its static lane bucket. Between
+    keyframes candidates only die, so the prefix stays a superset."""
+    live = arena.pool.valid & (arena.host >= 0)
+    order = jnp.argsort(~live, stable=True)
+    pool = jax.tree_util.tree_map(
+        lambda x: jnp.take(x, order, axis=0), arena.pool)
+    host = jnp.take(arena.host, order)
+    live_p = pool.valid & (host >= 0)
+    return ImmatureArena(pool=pool._replace(valid=live_p),
+                         host=jnp.where(live_p, host, -1))
+
+
 @functools.partial(jax.jit, static_argnames=("F",))
 def arena_counts(arena: ImmatureArena, F: int):
     """(F,) live-candidate counts per host slot."""
     live = (arena.pool.valid & (arena.host >= 0)).astype(jnp.int32)
     return jax.ops.segment_sum(live, jnp.clip(arena.host, 0, F - 1),
                                num_segments=F)
+
+
+@functools.partial(jax.jit, static_argnames=("F",))
+def arena_counts_and_watermark(arena: ImmatureArena, F: int):
+    """(F+1,) = per-host live counts ++ [watermark].
+
+    watermark = index of the last live lane + 1: the exact prefix extent
+    even after deaths punch holes in the compacted prefix (a bare count
+    would under-size the trace bucket then). One pull serves both the
+    marginalization policy and the trace-lane bucket."""
+    N = arena.host.shape[0]
+    live = arena.pool.valid & (arena.host >= 0)
+    counts = jax.ops.segment_sum(live.astype(jnp.int32),
+                                 jnp.clip(arena.host, 0, F - 1),
+                                 num_segments=F)
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (N, 1), 0)[:, 0] + 1
+    wm = jnp.max(jnp.where(live, lanes, 0))
+    return jnp.concatenate([counts, wm[None]])
 
 
 @jax.jit

@@ -148,8 +148,15 @@ class ImageFolderReader:
         return _read_image_file(self.files[idx])
 
     def get_image(self, idx: int):
-        """Returns (rectified photometric-linear float image, exposure,
-        timestamp) — the reference's ImageAndExposure."""
+        """Returns (rectified photometric-linear image, exposure, timestamp)
+        — the reference's ImageAndExposure (DatasetReader.h:193).
+
+        The image is an ON-DEVICE jax.Array: only the raw 8/16-bit frame
+        crosses the host->device link; photometric correction + remap run
+        fused on device (preprocess_frame) and FullSystem.add_active_frame
+        accepts the device handle directly, so the rectified float image
+        never makes a round trip. `np.asarray(img)` recovers the host copy
+        when one is needed."""
         import jax.numpy as jnp
         from ldso_tpu.ops.preprocess import preprocess_frame
 
@@ -162,7 +169,7 @@ class ImageFolderReader:
         pyr = preprocess_frame(jnp.asarray(raw), G, vig,
                                jnp.asarray(u.remap_x), jnp.asarray(u.remap_y),
                                None, 1)
-        img = np.asarray(pyr.dI[0][..., 0])
+        img = pyr.dI[0][..., 0]
         expo = self.exposures[idx] if self.exposures else 1.0
         ts = self.timestamps[idx] if self.timestamps else 0.0
         return img, float(expo), float(ts)

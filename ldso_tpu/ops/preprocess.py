@@ -89,12 +89,43 @@ def _make_pyramid_impl(img, levels: int, b_grad_lut=None) -> FramePyramid:
     return FramePyramid(dI=tuple(dIs), abs_grad=tuple(ags))
 
 
+def _to_intensity(img) -> jax.Array:
+    """Decode a device image buffer to float intensities in [0, 255].
+
+    uint8 carries raw 8-bit intensities (the reference's own input depth:
+    ImageRW reads 8U, Undistort.cc:190-233 maps through the response LUT);
+    uint16 is 8.8 fixed point (intensity * 256) — the low-bandwidth upload
+    format for already-float images behind a slow host<->device link."""
+    if img.dtype == jnp.uint8:
+        return img.astype(jnp.float32)
+    if img.dtype == jnp.uint16:
+        return img.astype(jnp.float32) * (1.0 / 256.0)
+    return jnp.asarray(img, jnp.float32)
+
+
+def upload_image(image) -> jax.Array:
+    """Host->device upload preserving compact integer dtypes.
+
+    float images are cast to float32 on host; uint8/uint16 cross the link
+    raw (4x / 2x fewer bytes — the transfer, not compute, bounds the
+    per-frame cost behind a remote-TPU tunnel) and are decoded on device
+    by `_to_intensity` inside the consuming program. A jax.Array input
+    (e.g. a dataset reader that already rectified on device) passes
+    through untouched."""
+    if isinstance(image, jax.Array):
+        return image
+    import numpy as np
+    if image.dtype in (np.uint8, np.uint16):
+        return jnp.asarray(image)
+    return jnp.asarray(image, jnp.float32)
+
+
 @functools.partial(jax.jit, static_argnames=("levels",))
 def make_pyramid(img, levels: int, b_grad_lut=None) -> FramePyramid:
-    """img: (H, W) float32 photometrically-linear rectified image.
+    """img: (H, W) rectified image — float32 photometric-linear, uint8 raw
+    intensities, or uint16 8.8 fixed point (see _to_intensity).
     One fused device program (FrameHessian::makeImages equivalent)."""
-    return _make_pyramid_impl(jnp.asarray(img, jnp.float32), levels,
-                              b_grad_lut)
+    return _make_pyramid_impl(_to_intensity(img), levels, b_grad_lut)
 
 
 @functools.partial(jax.jit, static_argnames=("levels",))

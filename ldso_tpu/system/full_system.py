@@ -38,15 +38,18 @@ from ldso_tpu.frontend import immature, initializer, tracker
 from ldso_tpu.ops import select as select_ops
 from ldso_tpu.ops.distance_map import distance_transform
 from ldso_tpu.ops.interp import bilinear
-from ldso_tpu.ops.preprocess import FramePyramid, make_pyramid
+from ldso_tpu.ops.preprocess import (FramePyramid, make_pyramid,
+                                     upload_image)
 from ldso_tpu.utils.timing import StageTimer
 from ldso_tpu.slam_map import FrameShell, GlobalMap, MapPointRecord
 
 
-@functools.partial(jax.jit, static_argnames=("calib", "cfg", "coarsest"))
+@functools.partial(jax.jit, static_argnames=("calib", "cfg", "coarsest",
+                                             "n_trace"))
 def _frame_step(image, arena, ref, T0, aff0, exposure, last_rmse,
                 T_ref_cw, T_hosts, host_affs, host_expos, b_grad,
-                enable_trace, calib, cfg: Config, coarsest: int):
+                enable_trace, calib, cfg: Config, coarsest: int,
+                n_trace: int = 1 << 30):
     """The per-frame hot path as ONE device program: pyramid + coarse
     tracking (hypothesis 0) + epipolar trace of the candidate arena against
     the new frame, with the trace committed only when tracking clears the
@@ -79,10 +82,11 @@ def _frame_step(image, arena, ref, T0, aff0, exposure, last_rmse,
     affs = jnp.stack([ra, aff[1] - ra * host_affs[:, 1]], axis=-1)
 
     do_trace = accept & enable_trace
+    n_trace = min(n_trace, arena.host.shape[0])
     arena_out = jax.lax.cond(
         do_trace,
-        lambda a: immature.trace_arena(a, pyr.dI[0], KRKis, Kts, affs,
-                                       calib, cfg),
+        lambda a: immature.trace_arena_prefix(a, pyr.dI[0], KRKis, Kts,
+                                              affs, calib, cfg, n_trace),
         lambda a: a, arena)
 
     packed = jnp.concatenate([
@@ -430,6 +434,11 @@ class FullSystem:
         # flat candidate arena: all hosts' candidates in one pool (~4x fewer
         # lanes than an F x cap stack at typical occupancy)
         self.imm_arena = immature.empty_arena(2 * cfg.max_immature, cfg)
+        # per-frame trace lane bucket: live candidates sit in a compacted
+        # prefix (immature.arena_compact), so the trace lattice shrinks to
+        # the smallest bucket covering the live count staged by the
+        # arena_counts pull at the end of each keyframe
+        self._trace_lanes = self.imm_arena.host.shape[0]
         self.imm_live: List[bool] = []
         # persistent (F, H, W, 3) level-0 gradient-image buffer on device
         self.dIs = jnp.zeros((self.ef.F, calib.h[0], calib.w[0], 3),
@@ -466,9 +475,11 @@ class FullSystem:
                 sh.S_cw = sh.T_cw.copy()
 
     # ------------------------------------------------------------ frame entry
-    def add_active_frame(self, image: np.ndarray, frame_id: int,
+    def add_active_frame(self, image, frame_id: int,
                          exposure: float = 1.0, timestamp: float = 0.0) -> FrameShell:
-        """image: rectified, photometrically linear float (H, W)."""
+        """image: rectified (H, W) — float32 photometric-linear, uint8 raw
+        intensities, uint16 8.8 fixed point, or an on-device jax.Array
+        (see ops.preprocess.upload_image)."""
         t_frame = time.time()
         shell = FrameShell(id=frame_id, timestamp=timestamp, exposure=exposure)
         if self.is_lost:
@@ -479,7 +490,7 @@ class FullSystem:
 
         if not self.initialized:
             with self.timer.stage("pyramid"):
-                pyr = make_pyramid(jnp.asarray(image, jnp.float32),
+                pyr = make_pyramid(upload_image(image),
                                    self.calib.levels, self.b_grad)
             with self.timer.stage("initialize"):
                 self._do_initialize(shell, pyr)
@@ -607,7 +618,7 @@ class FullSystem:
                        jnp.ones((F,), jnp.float32))
             self._chain_dummies = dummies
         _, pyr, packed = _frame_step(
-            jnp.asarray(image, jnp.float32), self.imm_arena, ref, T0, aff0,
+            upload_image(image), self.imm_arena, ref, T0, aff0,
             jnp.float32(shell.exposure), rmse, T_ref, *dummies,
             self.b_grad, jnp.asarray(False), calib, cfg, calib.levels - 1)
         self.track_chain = _chain_update(self.track_chain, packed, T0, T_ref)
@@ -698,15 +709,17 @@ class FullSystem:
             T_hosts[i] = fr.T_cw
             host_affs[i] = fr.aff
             host_expos[i] = fr.exposure or 1.0
+        self._refresh_trace_lanes()
         arena_out, pyr, packed_dev = _frame_step(
-            jnp.asarray(image, jnp.float32), self.imm_arena,
+            upload_image(image), self.imm_arena,
             tracker_ref, T0, aff0, jnp.float32(shell.exposure),
             jnp.asarray(self.last_coarse_rmse[:nlv], jnp.float32),
             jnp.asarray(ref_shell.T_cw, jnp.float32),
             jnp.asarray(T_hosts, jnp.float32),
             jnp.asarray(host_affs, jnp.float32),
             jnp.asarray(host_expos, jnp.float32),
-            self.b_grad, jnp.asarray(commit_trace), calib, cfg, coarsest)
+            self.b_grad, jnp.asarray(commit_trace), calib, cfg, coarsest,
+            n_trace=self._trace_lanes)
         packed_dev.copy_to_host_async()   # overlap the pull with host work
         self._frame_pyr = pyr
         packed = np.asarray(packed_dev, np.float64)
@@ -813,6 +826,30 @@ class FullSystem:
         b2 = 2.0 * self.first_coarse_rmse < self._last_rmse
         return len(self.all_frames) == 1 or b > 1 or b2
 
+    def _refresh_trace_lanes(self):
+        """Update the trace lane bucket from the arena_counts transfer
+        staged at the last keyframe (non-blocking: keeps the previous —
+        always-valid — bucket until the pull lands). Candidates only die
+        between keyframes, so a landed count is an upper bound until the
+        next keyframe's compact+add, which stages a fresh count."""
+        h = getattr(self, "_imm_counts_async", None)
+        if h is None:
+            return
+        try:
+            if not h.is_ready():
+                return
+            vals = np.asarray(h)
+            if vals.shape[0] < self.ef.F + 1 + 64:   # not counts+watermark
+                return
+            n = int(vals[self.ef.F])                 # prefix watermark
+        except Exception:
+            return
+        cap = self.imm_arena.host.shape[0]
+        for b in (1024, 2048, cap):
+            if n <= b:
+                self._trace_lanes = min(b, cap)
+                return
+
     # ------------------------------------------------------------ keyframe ops
     def _trace_new_coarse(self, shell: FrameShell, pyr: FramePyramid):
         """traceNewCoarse (:1012-1050): ALL immature pools traced against the
@@ -835,10 +872,12 @@ class FullSystem:
             ef_, et_ = host.exposure or 1.0, shell.exposure or 1.0
             ra = np.exp(shell.aff[0] - host.aff[0]) * et_ / ef_
             affs[i] = (ra, shell.aff[1] - ra * host.aff[1])
-        self.imm_arena = immature.trace_arena(
+        self._refresh_trace_lanes()
+        self.imm_arena = immature.trace_arena_sized(
             self.imm_arena, pyr.dI[0],
             jnp.asarray(KRKis, jnp.float32), jnp.asarray(Kts, jnp.float32),
-            jnp.asarray(affs, jnp.float32), calib, cfg)
+            jnp.asarray(affs, jnp.float32), calib, cfg,
+            self._trace_lanes)
 
     def _flag_frames_for_marginalization(self):
         """flagFramesForMarginalization (:647-723)."""
@@ -1150,10 +1189,12 @@ class FullSystem:
 
         self.global_map.add_keyframe(shell)
 
-        # stage next keyframe's immature counts: dispatch + async pull now,
-        # read (already landed) at the next _flag_frames_for_marginalization
+        # stage next keyframe's immature counts + trace watermark: dispatch
+        # + async pull now, read (already landed) at the next
+        # _flag_frames_for_marginalization / _refresh_trace_lanes
         from ldso_tpu.utils.transfer import _pad64
-        cts = _pad64(immature.arena_counts(self.imm_arena, self.ef.F))
+        cts = _pad64(immature.arena_counts_and_watermark(self.imm_arena,
+                                                         self.ef.F))
         cts.copy_to_host_async()
         self._imm_counts_async = cts
 
@@ -1314,6 +1355,10 @@ class FullSystem:
         else:
             status, n = self.selector.make_maps(pyr,
                                                 cfg.desired_immature_density)
+        # compact first: live candidates form a contiguous prefix and the
+        # add fills the tail, so the live set stays a prefix whose length
+        # (staged by arena_counts below) sizes the per-frame trace bucket
+        self.imm_arena = immature.arena_compact(self.imm_arena)
         self.imm_arena = immature.arena_add_from_status(
             self.imm_arena, status, pyr.dI[0], jnp.int32(idx),
             self._imm_cap, cfg)

@@ -234,3 +234,85 @@ class TestArena:
                                    rtol=1e-5)
         np.testing.assert_array_equal(np.asarray(out.pool.status)[:nv],
                                       np.asarray(ref.status)[order])
+
+
+class TestArenaCompactAndSizedTrace:
+    """arena_compact + trace_arena_sized: the per-frame trace bucket path."""
+
+    def _arena_with_holes(self, cfg):
+        calib, scene, img0, id0, pyr0 = _setup(128, 96)
+        status = np.zeros((96, 128), np.int32)
+        rng = np.random.RandomState(1)
+        status[rng.randint(10, 86, 60), rng.randint(10, 118, 60)] = 1
+        pool = immature.make_pool(jnp.asarray(status), pyr0.dI[0], 64, cfg)
+        arena = immature.empty_arena(256, cfg)
+        arena = immature.arena_add(arena, pool, 0)
+        # punch holes so the live set is non-contiguous
+        kill = np.zeros(256, bool)
+        kill[::3] = True
+        arena = immature.arena_mask(arena, jnp.asarray(kill))
+        return calib, scene, arena
+
+    def test_compact_preserves_live_set_as_prefix(self):
+        cfg = Config()
+        calib, scene, arena = self._arena_with_holes(cfg)
+        live_before = np.asarray(arena.pool.valid & (arena.host >= 0))
+        keys_before = sorted(zip(
+            np.asarray(arena.pool.u)[live_before].tolist(),
+            np.asarray(arena.pool.v)[live_before].tolist(),
+            np.asarray(arena.host)[live_before].tolist()))
+        out = immature.arena_compact(arena)
+        live = np.asarray(out.pool.valid & (out.host >= 0))
+        n = live.sum()
+        assert n == live_before.sum()
+        assert live[:n].all() and not live[n:].any(), "live set not a prefix"
+        keys_after = sorted(zip(
+            np.asarray(out.pool.u)[live].tolist(),
+            np.asarray(out.pool.v)[live].tolist(),
+            np.asarray(out.host)[live].tolist()))
+        assert keys_before == keys_after
+
+    def test_sized_trace_matches_full(self):
+        cfg = Config()
+        calib, scene, arena = self._arena_with_holes(cfg)
+        arena = immature.arena_compact(arena)
+        T1 = np.asarray(lie.se3_exp(jnp.asarray(
+            [0.05, 0.0, 0.01, 0.0, 0.01, 0.0], jnp.float32)))
+        img1, _ = scene.render(calib, jnp.asarray(T1, jnp.float32))
+        pyr1 = make_pyramid(img1, calib.levels)
+        K, Ki = calib.K(0), calib.Ki(0)
+        KRKi = jnp.asarray(K @ T1[:3, :3] @ Ki, jnp.float32)
+        Kt = jnp.asarray(K @ T1[:3, 3], jnp.float32)
+        aff = jnp.asarray([1.0, 0.0], jnp.float32)
+        KRKis = jnp.broadcast_to(KRKi, (2, 3, 3))
+        Kts = jnp.broadcast_to(Kt, (2, 3))
+        affs = jnp.broadcast_to(aff, (2, 2))
+        full = immature.trace_arena(arena, pyr1.dI[0], KRKis, Kts, affs,
+                                    calib, cfg)
+        wm = int(np.asarray(immature.arena_counts_and_watermark(arena, 2))[2])
+        n = 64 if wm <= 64 else 256
+        sized = immature.trace_arena_sized(arena, pyr1.dI[0], KRKis, Kts,
+                                           affs, calib, cfg, n)
+        np.testing.assert_allclose(np.asarray(sized.pool.idepth_min),
+                                   np.asarray(full.pool.idepth_min),
+                                   rtol=1e-6)
+        np.testing.assert_array_equal(np.asarray(sized.pool.status),
+                                      np.asarray(full.pool.status))
+        np.testing.assert_array_equal(np.asarray(sized.host),
+                                      np.asarray(full.host))
+
+
+class TestIntegerImagePyramid:
+    def test_u8_u16_match_f32(self):
+        from ldso_tpu.ops.preprocess import make_pyramid as mp
+        rng = np.random.RandomState(0)
+        img = (rng.rand(64, 96) * 255.0).astype(np.float32)
+        img8 = np.round(img).astype(np.uint8)
+        img16 = np.round(img * 256.0).astype(np.uint16)
+        p32 = mp(jnp.asarray(img), 2)
+        p8 = mp(jnp.asarray(img8), 2)
+        p16 = mp(jnp.asarray(img16), 2)
+        assert np.max(np.abs(np.asarray(p8.dI[0][..., 0])
+                             - np.asarray(p32.dI[0][..., 0]))) <= 0.5 + 1e-5
+        assert np.max(np.abs(np.asarray(p16.dI[0][..., 0])
+                             - np.asarray(p32.dI[0][..., 0]))) <= (1/256) + 1e-5
