@@ -137,17 +137,32 @@ def _gate_candidates_fused(W, newest, arena, KRKis, Kts, min_act_dist,
                       arena.host.astype(jnp.float32)], axis=-1)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "calib", "w1", "h1"))
+@functools.partial(jax.jit, static_argnames=("cfg", "calib", "w1", "h1",
+                                             "n_act"))
 def _activate_fused(W, arena, dIs, KRKis, Kts, Rs, ts, affs_a, masks,
                     min_act_dist, marg_flags, newest, nf,
-                    cfg: Config, calib, w1: int, h1: int):
+                    cfg: Config, calib, w1: int, h1: int,
+                    n_act: int = 1 << 30):
     """The whole activation pass as ONE program + ONE pull
     (activatePointsMT, FullSystem.cc:1052-1206): occupancy distance map +
     candidate gating + batched depth-only LM + point insertion with
     DEVICE-side slot allocation + arena cleanup. Returns
     (W', arena', packed) with packed rows [slot, host, inserted?, removed?]
-    per arena lane — the single pull updates the host point mirrors and
-    per-frame dead-point counters."""
+    per processed arena lane — the single pull updates the host point
+    mirrors and per-frame dead-point counters.
+
+    n_act bounds the processed lanes to the compacted live prefix (same
+    watermark as the trace bucket): the gate/LM lattices shrink from
+    capacity to ~live size; lanes past the prefix are dead by construction
+    and pass through untouched."""
+    full_arena = arena
+    n_act = min(n_act, arena.host.shape[0])
+    sliced = n_act < arena.host.shape[0]
+    if sliced:
+        from ldso_tpu.frontend.immature import ImmatureArena, ImmaturePool
+        arena = ImmatureArena(
+            pool=ImmaturePool(*[x[:n_act] for x in full_arena.pool]),
+            host=full_arena.host[:n_act])
     gate = _gate_candidates_fused(W, newest, arena, KRKis, Kts,
                                   min_act_dist, marg_flags, cfg, w1, h1)
     to_opt = gate[:, 0] > 0.5
@@ -187,6 +202,10 @@ def _activate_fused(W, arena, dIs, KRKis, Kts, Rs, ts, affs_a, masks,
                         hostc.astype(jnp.float32),
                         okn.astype(jnp.float32),
                         remove.astype(jnp.float32)], axis=1)
+    if sliced:
+        # only `valid` changed in the arena (arena_mask): merge the prefix
+        arena = full_arena._replace(pool=full_arena.pool._replace(
+            valid=full_arena.pool.valid.at[:n_act].set(arena.pool.valid)))
     return W, arena, packed
 
 
@@ -1004,13 +1023,15 @@ class FullSystem:
                 affs_a[i, j] = (ra, fj.aff[1] - ra * fi.aff[1])
                 masks[i, j] = True
 
+        self._refresh_trace_lanes()
         self.ef.W, self.imm_arena, packed = _activate_fused(
             self.ef.W, self.imm_arena, self._dIs_stack(),
             jnp.asarray(KRKis, jnp.float32), jnp.asarray(Kts, jnp.float32),
             jnp.asarray(Rs, jnp.float32), jnp.asarray(ts, jnp.float32),
             jnp.asarray(affs_a, jnp.float32), jnp.asarray(masks),
             jnp.float32(self.current_min_act_dist), jnp.asarray(marg_flags),
-            jnp.int32(newest_i), jnp.int32(nf), cfg, calib, w1, h1)
+            jnp.int32(newest_i), jnp.int32(nf), cfg, calib, w1, h1,
+            n_act=self._trace_lanes)
         # the packed result rides home asynchronously while the BA program
         # (queued right behind this one) runs; _consume_activation reads the
         # landed buffer after the BA's own sync point — zero extra round-trip
