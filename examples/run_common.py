@@ -32,7 +32,13 @@ def parse_args(argv):
             opts["speed"] = float(v)   # >0: timestamp-paced, skip if behind
         elif k == "quiet":
             opts["quiet"] = v not in ("0", "false", "False")
-        elif k in ("nogui", "nolog", "nomt", "save"):
+        elif k == "nogui":
+            # nogui=0 starts the live HTTP viewer (ldso_tpu/viz_live.py),
+            # the Pangolin-GUI equivalent (run_dso_tum_mono.cc:151-157)
+            opts["nogui"] = v not in ("0", "false", "False")
+        elif k == "viewerport":
+            opts["viewer_port"] = int(v)
+        elif k in ("nolog", "nomt", "save"):
             pass  # accepted for CLI parity; no-ops here
     return opts
 
@@ -89,6 +95,12 @@ def run(opts, dataset_type: str, kitti_output: bool = False):
     from ldso_tpu.utils.timing import maybe_xprof
 
     fs, reader, calib, cfg = build_system(opts, dataset_type)
+    viewer = None
+    if not opts.get("nogui", True):
+        from ldso_tpu.viz_live import LiveViewer
+        viewer = LiveViewer(port=opts.get("viewer_port", 8765)).start()
+        fs.set_viewer(viewer)
+        print(f"live viewer: http://127.0.0.1:{viewer.port}/")
     n = reader.num_images()
     lo, hi = opts["start"], min(opts["end"], n)
     print(f"dataset: {n} images, running [{lo}, {hi})  "
@@ -123,6 +135,8 @@ def run(opts, dataset_type: str, kitti_output: bool = False):
         if fs.init_failed and i - lo < 250:
             print(f"init failed at frame {i}; resetting")
             fs, reader2, calib, cfg = build_system(opts, dataset_type)
+            if viewer is not None:
+                fs.set_viewer(viewer)
         if fs.is_lost:
             print(f"LOST at frame {i}")
             break
@@ -160,4 +174,6 @@ def run(opts, dataset_type: str, kitti_output: bool = False):
     if len(pc):
         save_ply(os.path.join(os.path.dirname(out) or ".", "pointcloud.ply"), pc)
     print(f"wrote {out} (+.noloop), {len(pc)} map points")
+    if viewer is not None:
+        viewer.publish_keyframes(fs.global_map)   # final refresh
     return fs

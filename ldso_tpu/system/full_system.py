@@ -463,6 +463,10 @@ class FullSystem:
         self.dIs = jnp.zeros((self.ef.F, calib.h[0], calib.w[0], 3),
                              jnp.float32)
 
+        # live viewer hooks (FullSystem::setViewer, outputWrapper publishes;
+        # viz_live.LiveViewer is the Pangolin-GUI equivalent)
+        self.viewer = None
+
         self.tracker_ref: Optional[tracker.TrackerRef] = None
         self.tracker_ref_shell: Optional[FrameShell] = None
         # atomic (ref, shell) snapshot read by concurrent tracking
@@ -522,6 +526,10 @@ class FullSystem:
         if not ok:
             self.is_lost = True
             return shell
+        if self.viewer is not None:
+            self.viewer.publish_cam_pose(shell)
+            if isinstance(image, np.ndarray):   # device handles: skip pull
+                self.viewer.publish_frame(image)
         need_kf = self._keyframe_decision(shell)
         if need_kf:
             with self.timer.stage("keyframe"):
@@ -531,6 +539,11 @@ class FullSystem:
                 self.make_non_keyframe(shell, pyr)
         self.timer.log_frame(frame_id, (time.time() - t_frame) * 1000.0)
         return shell
+
+    def set_viewer(self, viewer):
+        """Attach a live viewer (FullSystem::setViewer equivalent; see
+        ldso_tpu/viz_live.py)."""
+        self.viewer = viewer
 
     # ---------------------------------------------------------- initialization
     def _do_initialize(self, shell: FrameShell, pyr: FramePyramid):
@@ -671,6 +684,8 @@ class FullSystem:
             self.first_coarse_rmse = res0
         self._last_flow = flow.copy()
         self._last_rmse = res0
+        if self.viewer is not None:
+            self.viewer.publish_cam_pose(shell)
         return True
 
     def _track_new_coarse(self, shell: FrameShell, image: np.ndarray,
@@ -1209,6 +1224,8 @@ class FullSystem:
                     i += 1
 
         self.global_map.add_keyframe(shell)
+        if self.viewer is not None:
+            self.viewer.publish_keyframes(self.global_map, self.window_frames)
 
         # stage next keyframe's immature counts + trace watermark: dispatch
         # + async pull now, read (already landed) at the next
