@@ -69,8 +69,14 @@ class Config:
     min_frames: int = 5                  # (Setting.cc:33)
     max_points: int = 2048               # active-point pool capacity
     max_immature: int = 2048             # immature-candidate pool capacity
-    # per-level coarse-tracker point capacities (lvl 0..5)
-    tracker_caps: Tuple[int, ...] = (24576, 16384, 8192, 4096, 2048, 1024)
+    # per-level coarse-tracker point capacities (lvl 0..5). The splat
+    # occupies at most max_points cells per level (downsampling only
+    # merges) and the single dilation pass (CoarseTracker.cc:313-398
+    # analogue) adds at most 4 neighbours per occupied cell, so the valid
+    # set is bounded by 5 * max_points = 10240; 12288/10240 leave margin
+    # (measured 8557/7666 valid at lvl 0/1 on the bench scene). The warp
+    # lattice cost of every LM iteration scales with these caps.
+    tracker_caps: Tuple[int, ...] = (12288, 10240, 8192, 4096, 2048, 1024)
 
     # --- densities / window policy -----------------------------------------
     desired_immature_density: float = 1500.0   # (Setting.cc:29)

@@ -341,105 +341,15 @@ def trace(pool: ImmaturePool, dI_target: jax.Array, KRKi: jax.Array,
     )
 
 
-@functools.partial(jax.jit, static_argnames=("calib", "cfg"))
-def trace_pools(pools: ImmaturePool, dI_target: jax.Array, KRKis: jax.Array,
-                Kts: jax.Array, affs: jax.Array, calib: Calibration,
-                cfg: Config) -> ImmaturePool:
-    """Trace a STACK of immature pools (leading axis = host frame) against
-    one new frame in a single dispatch — the reference loops hosts
-    sequentially (traceNewCoarse, FullSystem.cc:1025-1049). Dead slots
-    (valid all-False) pass through unchanged."""
-    return jax.vmap(
-        lambda p, K, t, a: trace(p, dI_target, K, t, a, calib, cfg)
-    )(pools, KRKis, Kts, affs)
-
-
-def empty_pool_stack(F: int, cap: int, cfg: Config) -> ImmaturePool:
-    """A stack of F empty pools (leading frame-slot axis)."""
-    z = lambda *s: jnp.zeros((F,) + s, jnp.float32)
-    return ImmaturePool(
-        u=z(cap), v=z(cap), valid=jnp.zeros((F, cap), bool),
-        color=z(cap, 8), weights=z(cap, 8), gradH=z(cap, 2, 2),
-        idepth_min=z(cap), idepth_max=jnp.full((F, cap), jnp.inf, jnp.float32),
-        quality=z(cap), energy_th=z(cap),
-        status=jnp.full((F, cap), IPS_UNINITIALIZED, jnp.int32),
-        last_u=z(cap), last_v=z(cap), last_interval=z(cap),
-        my_type=jnp.zeros((F, cap), jnp.int32))
-
-
-@jax.jit
-def set_pool_slot(stack: ImmaturePool, slot, pool: ImmaturePool) -> ImmaturePool:
-    """Write one pool into a slot of the stack (one dispatch)."""
-    return jax.tree_util.tree_map(
-        lambda s, p: s.at[slot].set(p), stack, pool)
-
-
-@jax.jit
-def clear_pool_slot(stack: ImmaturePool, slot) -> ImmaturePool:
-    return stack._replace(valid=stack.valid.at[slot].set(False))
-
-
-@jax.jit
-def shift_pool_slot_out(stack: ImmaturePool, perm) -> ImmaturePool:
-    """Apply a slot permutation (window compaction on frame marginalization)."""
-    out = jax.tree_util.tree_map(lambda s: jnp.take(s, perm, axis=0), stack)
-    return out._replace(valid=out.valid.at[-1].set(False))
-
-
-@jax.jit
-def mask_pool_slot(stack: ImmaturePool, slot, remove) -> ImmaturePool:
-    """Invalidate `remove`-masked candidates in one slot."""
-    return stack._replace(
-        valid=stack.valid.at[slot].set(stack.valid[slot] & ~remove))
-
-
-@jax.jit
-def pool_counts(stack: ImmaturePool):
-    """(F,) live-candidate counts — one pull for the marginalization policy."""
-    return jnp.sum(stack.valid, axis=1)
-
-
-@jax.jit
-def mask_pool_all(stack: ImmaturePool, remove) -> ImmaturePool:
-    """Invalidate remove-masked candidates across all slots (one dispatch)."""
-    return stack._replace(valid=stack.valid & ~remove)
-
-
-@jax.jit
-def pool_insert_data(stack: ImmaturePool):
-    """(F, cap, 19) packed [u, v, energy_th, color(8), weights(8)] — one pull
-    feeds the host-side point insertion."""
-    return jnp.concatenate([
-        stack.u[..., None], stack.v[..., None], stack.energy_th[..., None],
-        stack.color, stack.weights], axis=-1)
-
-
-@functools.partial(jax.jit, static_argnames=("calib", "cfg"))
-def activate_pools(stack: ImmaturePool, idepth0, cand_valid,
-                   Rs, ts, affs, target_masks, dIs,
-                   calib: Calibration, cfg: Config):
-    """vmapped `activate` over all host slots: one dispatch activates every
-    gated candidate of every window frame. Outputs packed (F, cap, 3) =
-    [new idepth, ok, n_good]."""
-    def one(p, id0, cv, R, t, a, m):
-        new_id, ok, n_good, _ = activate(
-            p.u, p.v, p.color, p.weights, p.energy_th, id0, cv,
-            R, t, a, m, dIs, calib, cfg)
-        return jnp.stack([new_id, ok.astype(jnp.float32),
-                          n_good.astype(jnp.float32)], axis=-1)
-
-    return jax.vmap(one)(stack, idepth0, cand_valid, Rs, ts, affs,
-                         target_masks)
-
-
 # ---------------------------------------------------------------------------
 # flat candidate arena: ONE pool with a per-candidate host index
 # ---------------------------------------------------------------------------
-# The per-frame pool stack pays F x cap trace/gate/activate lanes while only
-# a few hundred candidates are live (measured 425 of 8192). The arena packs
-# all hosts' candidates into one (N,) pool + host (N,) int32, so every
-# batched program runs over ~4x fewer lanes. Slot allocation happens on
-# device (no host mirror or extra pull).
+# All hosts' candidates live in one (N,) pool + host (N,) int32 (an F x cap
+# per-frame stack would pay F x cap trace/gate/activate lanes while only a
+# few hundred candidates are live — measured 425 of 8192 before the switch).
+# Slot allocation happens on device (no host mirror or extra pull), and
+# arena_compact keeps the live set a contiguous prefix so the hot programs
+# run on a statically-sized bucket of ~live lanes.
 
 class ImmatureArena(NamedTuple):
     pool: ImmaturePool       # flat (N,) fields

@@ -49,6 +49,15 @@ class AsyncPipeline:
     # the device fed across one ~35 ms tunnel round-trip)
     CHAIN_DEPTH = 4
 
+    # frames per host->device upload: the tunnel charges a ~8 ms fixed
+    # overhead per transfer message on top of bandwidth (measured: one
+    # 0.3 MB uint8 frame 11.2 ms, one 1.2 MB message 20 ms), so staging
+    # a few frames into ONE upload costs ~5 ms/frame instead of ~11.
+    # Adds up to INGEST_BATCH-1 frames of latency on the tracked-pose
+    # stream — the same class of tradeoff as the reference's mapping
+    # queue. 1 disables staging.
+    INGEST_BATCH = 4
+
     def __init__(self, fs: FullSystem, linearize_operation: bool = False,
                  max_queue: Optional[int] = None):
         self.fs = fs
@@ -63,6 +72,7 @@ class AsyncPipeline:
         self._map_lock = threading.Lock()
         # chain-tracking state (tracking thread only)
         self.pending = collections.deque()   # (shell, image, pyr, packed, ref_shell)
+        self._ingest = []                    # staged (shell, host image)
         self._chain_dirty = True
         self._slast = None
         self._sprelast = None
@@ -106,15 +116,40 @@ class AsyncPipeline:
         if self._chain_dirty:
             # flush frames still in flight on the (possibly bad) chain;
             # _drain rebuilds the chain from host state once empty
+            self._flush_ingest()
             self._drain(block=True)
             if fs.is_lost:
                 return None
         shell = FrameShell(id=frame_id, timestamp=timestamp, exposure=exposure)
         fs.all_frames.append(shell)
-        pyr, packed, ref_shell = fs.track_chain_dispatch(shell, image)
-        self.pending.append((shell, image, pyr, packed, ref_shell))
+        self._ingest.append((shell, image))
+        if len(self._ingest) >= max(1, self.INGEST_BATCH):
+            self._flush_ingest()
         self._drain(block=len(self.pending) > self.CHAIN_DEPTH)
         return shell
+
+    def _flush_ingest(self):
+        """Upload the staged frames as ONE transfer and dispatch their
+        chain programs back-to-back."""
+        if not self._ingest:
+            return
+        fs = self.fs
+        staged, self._ingest = self._ingest, []
+        if len(staged) == 1:
+            shell, image = staged[0]
+            pyr, packed, ref_shell = fs.track_chain_dispatch(shell, image)
+            self.pending.append((shell, image, pyr, packed, ref_shell))
+            return
+        import numpy as np
+        import jax.numpy as jnp
+        from ldso_tpu.ops.preprocess import upload_image
+        if all(isinstance(img, np.ndarray) for _, img in staged):
+            batch = jnp.asarray(np.stack([img for _, img in staged]))
+        else:                     # device handles: nothing to batch
+            batch = [upload_image(img) for _, img in staged]
+        for k, (shell, image) in enumerate(staged):
+            pyr, packed, ref_shell = fs.track_chain_dispatch(shell, batch[k])
+            self.pending.append((shell, image, pyr, packed, ref_shell))
 
     def _drain(self, block: bool):
         """Consume landed chain-step results in order. With block=False only
@@ -202,6 +237,7 @@ class AsyncPipeline:
 
     def block_until_mapping_is_finished(self):
         """blockUntilMappingIsFinished (FullSystem.cc:384-409)."""
+        self._flush_ingest()         # dispatch any staged frames
         self._drain(block=True)      # land in-flight chain-tracked frames
         with self.cond:
             self.running = False
