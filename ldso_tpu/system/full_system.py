@@ -1436,13 +1436,25 @@ class FullSystem:
 
     # ------------------------------------------------------------------ output
     def save_all(self, path: str):
-        """Map snapshot (FullSystem::saveAll, FullSystem.cc:1872-1893)."""
-        self.global_map.save(path)
+        """Map snapshot (FullSystem::saveAll, FullSystem.cc:1872-1893).
+
+        `.bin`/`.map` paths use the reference's byte-compatible binary
+        layout (io/ldso_binary.py — cross-loads with the reference
+        binary); anything else uses the richer native npz snapshot."""
+        if path.endswith((".bin", ".map")):
+            from ldso_tpu.io.ldso_binary import save_ldso_binary
+            save_ldso_binary(self.global_map, path)
+        else:
+            self.global_map.save(path)
 
     def load_all(self, path: str):
         """Reload a map snapshot (FullSystem::loadAll, :1895-1918)."""
         from ldso_tpu.slam_map import GlobalMap
-        self.global_map = GlobalMap.load(path)
+        if path.endswith((".bin", ".map")):
+            from ldso_tpu.io.ldso_binary import load_ldso_binary
+            self.global_map = load_ldso_binary(path)
+        else:
+            self.global_map = GlobalMap.load(path)
         if self.loop_closing is not None:
             self.loop_closing.global_map = self.global_map
             # refill the retrieval database
