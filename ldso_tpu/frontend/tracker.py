@@ -107,10 +107,12 @@ def make_tracker_ref(
     for lvl in range(1, levels):
         ip, wp = ideps[-1], wsums[-1]
         Hp, Wp = ip.shape
-        ideps.append(ip[0:Hp:2, 0:Wp:2] + ip[1:Hp:2, 0:Wp:2]
-                     + ip[0:Hp:2, 1:Wp:2] + ip[1:Hp:2, 1:Wp:2])
-        wsums.append(wp[0:Hp:2, 0:Wp:2] + wp[1:Hp:2, 0:Wp:2]
-                     + wp[0:Hp:2, 1:Wp:2] + wp[1:Hp:2, 1:Wp:2])
+        # reshape-reduce 2x2 sum: lane-strided slicing pays a relayout per
+        # slice on TPU (same trick as ops.preprocess._downsample2)
+        ideps.append(ip[:(Hp // 2) * 2, :(Wp // 2) * 2]
+                     .reshape(Hp // 2, 2, Wp // 2, 2).sum(axis=(1, 3)))
+        wsums.append(wp[:(Hp // 2) * 2, :(Wp // 2) * 2]
+                     .reshape(Hp // 2, 2, Wp // 2, 2).sum(axis=(1, 3)))
 
     points = []
     valids = []

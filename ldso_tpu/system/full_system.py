@@ -118,6 +118,11 @@ def _gate_candidates_fused(W, newest, arena, KRKis, Kts, min_act_dist,
     flat-arena candidate gating, ONE program (was 2 dispatches + 1 pull +
     an eager map build on the host: each leg pays a tunnel round-trip)."""
     from ldso_tpu.ops.distance_map import distance_transform
+    # the map only feeds `dist >= min_act_dist * my_type` with
+    # min_act_dist <= 4 and my_type <= 4 plus a sub-pixel term < 1
+    # (FullSystem.cc:1134; _gate_candidates below), so every distance
+    # >= 17 is decision-equivalent — 18 relaxation steps instead of the
+    # reference's 40 (CoarseTracker.cc:726) give identical gating
     cp = W.center_proj[:, newest]
     ok = (W.pt_valid & W.res_exist[:, newest]
           & jnp.isfinite(cp[:, 0]) & (cp[:, 2] > 0))
@@ -126,7 +131,7 @@ def _gate_candidates_fused(W, newest, arena, KRKis, Kts, min_act_dist,
     inb = ok & (uu > 0) & (vv > 0) & (uu < w1) & (vv < h1)
     uu = jnp.where(inb, uu, w1)          # OOB scatter -> dropped
     occ = jnp.zeros((h1, w1), bool).at[vv, uu].set(True, mode="drop")
-    dist_map = distance_transform(occ)
+    dist_map = distance_transform(occ, max_k=18)
     h = jnp.clip(arena.host, 0, KRKis.shape[0] - 1)
     pool = arena.pool._replace(valid=arena.pool.valid & (arena.host >= 0))
     to_opt, remove, idm = _gate_candidates(
@@ -265,6 +270,16 @@ def _tracker_ref_inputs(W, newest):
     hdif = 1.0 / jnp.maximum(W.pt_idepth_hessian, 1e-12)
     weight = jnp.sqrt(1e-3 / (hdif + 1e-12))
     return cp[:, 0], cp[:, 1], cp[:, 2], weight, valid, aff_g2l(W)[newest]
+
+
+@functools.partial(jax.jit, static_argnames=("calib", "caps"))
+def _make_tracker_ref_fused(W, newest, ref_dI, ref_exposure, calib, caps):
+    """_tracker_ref_inputs + make_tracker_ref as ONE program (each
+    Window-carrying dispatch costs ~1.6 ms of pytree overhead over the
+    tunnel; measured 4.1 ms for the inputs dispatch alone)."""
+    u, v, idep, weight, valid, ref_aff = _tracker_ref_inputs(W, newest)
+    return tracker.make_tracker_ref(u, v, idep, weight, valid, ref_dI,
+                                    ref_exposure, ref_aff, calib, caps)
 
 
 @jax.jit
@@ -1332,13 +1347,10 @@ class FullSystem:
         W = self.ef.W
         nf = len(self.window_frames)
         newest = nf - 1
-        u, v, idep, weight, valid, ref_aff = _tracker_ref_inputs(
-            W, jnp.int32(newest))
         newest_shell = self.window_frames[newest]
-        ref = tracker.make_tracker_ref(
-            u, v, idep, weight, valid,
-            self.window_pyrs[newest].dI,
-            jnp.float32(newest_shell.exposure), ref_aff,
+        ref = _make_tracker_ref_fused(
+            W, jnp.int32(newest), self.window_pyrs[newest].dI,
+            jnp.float32(newest_shell.exposure),
             self.calib, self.cfg.tracker_caps[:self.calib.levels])
         return ref, newest_shell
 
