@@ -68,9 +68,13 @@ class TestAsyncPipeline:
         pipe = AsyncPipeline(fs, linearize_operation=False)
         for i, T in enumerate(poses):
             img, _ = scene.render(calib, jnp.asarray(T, jnp.float32))
-            pipe.add_active_frame(np.asarray(img), i, 1.0, i * 0.05)
+            # uint8 frames: the production upload format (4x fewer bytes
+            # over the link; also exercises the staged ingest batching)
+            u8 = np.clip(np.round(np.asarray(img)), 0, 255).astype(np.uint8)
+            pipe.add_active_frame(u8, i, 1.0, i * 0.05)
             assert not fs.is_lost
         pipe.block_until_mapping_is_finished()
+        assert not pipe._ingest, "staged frames must flush on shutdown"
         assert fs.initialized
         assert fs.global_map.num_frames() >= 3
 
