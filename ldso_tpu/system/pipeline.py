@@ -170,6 +170,12 @@ class AsyncPipeline:
                 self._chain_dirty = True
                 if not ok:
                     fs.is_lost = True
+                    # frames still in flight (or staged) were never
+                    # tracked: their shells must not count as posed
+                    for sh, *_ in self.pending:
+                        sh.pose_valid = False
+                    for sh, _ in self._ingest:
+                        sh.pose_valid = False
                     return
                 # the retrack ran against the CURRENT tracker ref, so the
                 # flow/affine quantities on the shell are relative to it —
@@ -187,7 +193,10 @@ class AsyncPipeline:
                     self.need_new_kf_after = max(self.need_new_kf_after,
                                                  ref_shell.id)
                 self.cond.notify_all()
-        if self._chain_dirty and not self.pending:
+        # rebuild only once EVERY added frame has been tracked: staged
+        # (not yet dispatched) frames sit in all_frames with placeholder
+        # poses, and chain_reset reads the newest posed shells
+        if self._chain_dirty and not self.pending and not self._ingest:
             fs.chain_reset()
             self._chain_dirty = False
 
