@@ -191,6 +191,105 @@ def optimize_pose_graph_cg(S_init: jax.Array, fixed: jax.Array,
     return jax.lax.fori_loop(0, iterations, gn_step, S_init)
 
 
+def optimize_pose_graph_cg_sharded(S_init: jax.Array, fixed: jax.Array,
+                                   e_i: jax.Array, e_j: jax.Array,
+                                   Z: jax.Array, info: jax.Array,
+                                   edge_valid: jax.Array, mesh,
+                                   iterations: int = 25,
+                                   damping: float = 1e-6,
+                                   cg_iters: int = 100):
+    """Matrix-free PCG pose graph sharded over a device mesh.
+
+    The factor-parallel decomposition: EDGES shard across the mesh axis
+    'e' (each device linearizes its edge slice and applies its H blocks),
+    VERTICES replicate. Every edge-wise scatter into vertex space is
+    followed by one `psum` over 'e' — the per-CG-step ICI collective —
+    and the CG scalar recurrences run on the replicated (N,7) vectors,
+    identically on every device. This is the SLAM analogue of gradient
+    data-parallelism (factors <-> examples, psum <-> gradient
+    all-reduce); g2o has no distributed mode to mirror (SURVEY.md §2.3).
+
+    Edge count must be divisible by the mesh axis size (the host wrapper
+    pads to a power of two, so any power-of-two mesh divides it)."""
+    from functools import partial
+    from jax.sharding import PartitionSpec as PSpec
+    try:
+        from jax import shard_map              # jax >= 0.8
+    except ImportError:                        # pragma: no cover
+        from jax.experimental.shard_map import shard_map
+
+    N = S_init.shape[0]
+    dtype = S_init.dtype
+    free = (~fixed).astype(dtype)[:, None]
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(PSpec(), PSpec(), PSpec("e"), PSpec("e"),
+                       PSpec("e"), PSpec("e"), PSpec("e")),
+             out_specs=PSpec())
+    def run(S0, free, e_i, e_j, Z, info, edge_valid):
+        Z_inv = lie.sim3_inv(Z)
+
+        def gn_step(_, S):
+            e, Ji, Jj = jax.vmap(_edge_res_jac)(S[e_i], S[e_j], Z_inv)
+            w = edge_valid.astype(dtype)[:, None, None]
+            info_w = info * w
+
+            Hii = jnp.einsum("eki,ekl,elj->eij", Ji, info_w, Ji)
+            Hjj = jnp.einsum("eki,ekl,elj->eij", Jj, info_w, Jj)
+            Hij = jnp.einsum("eki,ekl,elj->eij", Ji, info_w, Jj)
+            bi = jnp.einsum("eki,ekl,el->ei", Ji, info_w, e)
+            bj = jnp.einsum("eki,ekl,el->ei", Jj, info_w, e)
+            b = jnp.zeros((N, 7), dtype).at[e_i].add(bi).at[e_j].add(bj)
+            b = -jax.lax.psum(b, "e") * free
+
+            D = jnp.zeros((N, 7, 7), dtype).at[e_i].add(Hii).at[e_j].add(Hjj)
+            D = jax.lax.psum(D, "e") + damping * jnp.eye(7, dtype=dtype)
+            D = jnp.where(free[:, :, None] > 0, D, jnp.eye(7, dtype=dtype))
+            Minv = jnp.linalg.inv(D)
+
+            def hmul(x):
+                xm = x * free
+                xi, xj = xm[e_i], xm[e_j]
+                yi = jnp.einsum("eij,ej->ei", Hii, xi) \
+                    + jnp.einsum("eij,ej->ei", Hij, xj)
+                yj = jnp.einsum("eji,ej->ei", Hij, xi) \
+                    + jnp.einsum("eij,ej->ei", Hjj, xj)
+                y = jnp.zeros((N, 7), dtype).at[e_i].add(yi).at[e_j].add(yj)
+                y = jax.lax.psum(y, "e")        # the per-step collective
+                return (y + damping * xm) * free
+
+            def pc(r):
+                return jnp.einsum("nij,nj->ni", Minv, r) * free
+
+            r0 = b
+            z0 = pc(r0)
+            p0 = z0
+            rz0 = jnp.vdot(r0, z0)
+
+            def cg_body(_, st):
+                x, r, p, rz = st
+                Ap = hmul(p)
+                pAp = jnp.vdot(p, Ap)
+                alpha = jnp.where(pAp > 1e-20, rz / pAp, 0.0)
+                x = x + alpha * p
+                r = r - alpha * Ap
+                z = pc(r)
+                rz_new = jnp.vdot(r, z)
+                beta = jnp.where(rz > 1e-20, rz_new / rz, 0.0)
+                p = z + beta * p
+                return x, r, p, rz_new
+
+            x0 = jnp.zeros((N, 7), dtype)
+            delta, _, _, _ = jax.lax.fori_loop(
+                0, cg_iters, cg_body, (x0, r0, p0, rz0))
+            delta = jnp.where(jnp.isfinite(delta), delta, 0.0) * free
+            return lie.sim3_exp(delta) @ S
+
+        return jax.lax.fori_loop(0, iterations, gn_step, S0)
+
+    return run(S_init, free, e_i, e_j, Z, info, edge_valid)
+
+
 _DENSE_MAX_VERTICES = 1024      # padded; above this run_pose_graph uses PCG
 
 
@@ -248,8 +347,17 @@ def run_pose_graph(global_map, cfg=None, iterations: int = 25):
     eip[E:] = N - 1  # fixed vertex
     ejp[E:] = N - 1
 
-    solver = (optimize_pose_graph if Nb <= _DENSE_MAX_VERTICES
-              else optimize_pose_graph_cg)
+    import jax as _jax
+    devs = _jax.devices()
+    if Nb <= _DENSE_MAX_VERTICES:
+        solver = optimize_pose_graph
+    elif len(devs) > 1 and Eb % len(devs) == 0:
+        # big graph + a mesh: shard the edges, one psum per CG step
+        from jax.sharding import Mesh
+        solver = functools.partial(optimize_pose_graph_cg_sharded,
+                                   mesh=Mesh(np.array(devs), ("e",)))
+    else:
+        solver = optimize_pose_graph_cg
     S_new = solver(
         jnp.asarray(S), jnp.asarray(fixed),
         jnp.asarray(eip), jnp.asarray(ejp),

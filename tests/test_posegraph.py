@@ -173,3 +173,45 @@ class TestPoseGraphCG:
 
 if __name__ == "__main__":
     pytest.main([__file__, "-q", "-x"])
+
+
+class TestPoseGraphSharded:
+    """Edge-sharded PCG over the 8-device CPU mesh: the distributed
+    pose-graph backend (factors shard, vertices replicate, one psum per
+    CG step) must agree with the single-device PCG solver."""
+
+    def _mesh(self):
+        import jax
+        from jax.sharding import Mesh
+        devs = np.array(jax.devices()[:8])
+        if devs.size < 8:
+            pytest.skip("needs the multi-device CPU mesh")
+        return Mesh(devs, ("e",))
+
+    def test_sharded_matches_single_device(self):
+        mesh = self._mesh()
+        drift = np.array([2e-3, -1e-3, 0.0, 0.0, 0.0, 1.5e-3])
+        tc = TestPoseGraphCG()
+        args, gt = tc._system(24, drift, sigma_drift=0.003)
+        S, fixed, ei, ej, Z, info, valid = args
+        # pad edges to a multiple of the mesh size (the host wrapper pads
+        # to a power of two): dead self-edges on the fixed vertex
+        E = ei.shape[0]
+        Eb = ((E + 7) // 8) * 8
+        pad = Eb - E
+        ei = jnp.concatenate([ei, jnp.full(pad, 23, jnp.int32)])
+        ej = jnp.concatenate([ej, jnp.full(pad, 23, jnp.int32)])
+        Z = jnp.concatenate([Z, jnp.tile(jnp.eye(4), (pad, 1, 1))])
+        info = jnp.concatenate([info, jnp.tile(jnp.eye(7), (pad, 1, 1))])
+        valid = jnp.concatenate([valid, jnp.zeros(pad, bool)])
+
+        S_cg = np.asarray(posegraph.optimize_pose_graph_cg(
+            S, fixed, ei, ej, Z, info, valid, iterations=15, cg_iters=150))
+        S_sh = np.asarray(posegraph.optimize_pose_graph_cg_sharded(
+            S, fixed, ei, ej, Z, info, valid, mesh,
+            iterations=15, cg_iters=150))
+        for k in range(24):
+            e = np.asarray(lie.sim3_log(jnp.asarray(
+                S_sh[k] @ np.linalg.inv(S_cg[k]))))
+            assert np.linalg.norm(e) < 1e-4, \
+                f"vertex {k}: sharded vs single {np.linalg.norm(e):.2e}"
