@@ -16,13 +16,50 @@ container's CPU over the SAME synthetic trajectory: 54.0 ms/frame =
 Every mode is measured in 3 consecutive windows and reports the MEDIAN
 (tunnel latency to the axon TPU has ±2x "weather"; medians within one
 process are the stable statistic — see BASELINE.md methodology).
+
+Resilience: the axon relay throws transient INTERNAL/UNAVAILABLE
+JaxRuntimeErrors (BASELINE.md documents ±2x weather; round 2's driver
+bench died on one mid-warmup flake). Every frame dispatch retries with
+backoff, every mode is isolated, and the JSON line is ALWAYS printed —
+on unrecoverable failure it carries the windows measured so far plus an
+"error" field. Exit code is 0 whenever the line was printed.
 """
 
 import json
 import sys
 import time
+import traceback
 
 import numpy as np
+
+# markers of transient relay/tunnel failures (remote_compile / transfer
+# stream resets) — retryable; anything else is a real bug and propagates
+_TRANSIENT_MARKERS = (
+    "INTERNAL", "UNAVAILABLE", "DEADLINE_EXCEEDED", "RESOURCE_EXHAUSTED",
+    "read body", "response body closed", "connection reset", "broken pipe",
+    "remote_compile", "socket", "EOF",
+)
+
+
+def _is_transient(e: BaseException) -> bool:
+    s = f"{type(e).__name__}: {e}"
+    return any(m.lower() in s.lower() for m in _TRANSIENT_MARKERS)
+
+
+def _retry(fn, *args, attempts: int = 3, backoff: float = 4.0, label: str = "",
+           errors: list = None, **kw):
+    """Run fn, retrying transient tunnel failures with backoff. Re-raises
+    non-transient errors immediately and the last transient one after
+    `attempts` tries."""
+    for k in range(attempts):
+        try:
+            return fn(*args, **kw)
+        except Exception as e:  # noqa: BLE001 — filtered by _is_transient
+            if not _is_transient(e) or k == attempts - 1:
+                raise
+            if errors is not None:
+                errors.append(f"transient[{label}#{k}]: {type(e).__name__}")
+            time.sleep(backoff * (k + 1))
 
 
 def _quant8(img) -> np.ndarray:
@@ -33,7 +70,45 @@ def _quant8(img) -> np.ndarray:
     return np.clip(np.round(np.asarray(img)), 0, 255).astype(np.uint8)
 
 
+def _drive(fs_or_pipe, images, ids, errors, label):
+    """Feed frames with per-frame transient retry; a frame that still fails
+    after the retries is skipped (the pipeline tolerates dropped frames the
+    same way the reference's catch-up logic does)."""
+    fs = getattr(fs_or_pipe, "fs", fs_or_pipe)
+    fed = 0
+    for img, i in zip(images, ids):
+        try:
+            _retry(fs_or_pipe.add_active_frame, img, i, 1.0, i * 0.05,
+                   label=f"{label}:f{i}", errors=errors)
+            fed += 1
+        except Exception as e:  # noqa: BLE001
+            if not _is_transient(e):
+                raise
+            errors.append(f"dropped[{label}:f{i}]: {type(e).__name__}")
+        if fs.is_lost:
+            break
+    return fed
+
+
 def main():
+    result = {
+        "metric": "frames/sec synthetic 640x480 VO (pipelined, preset 0)",
+        "value": 0.0, "unit": "fps", "vs_baseline": 0.0,
+    }
+    errors = []
+    rc = 0
+    try:
+        rc = _main(result, errors)
+    except Exception:  # noqa: BLE001 — the JSON line must always print
+        errors.append("fatal: " + traceback.format_exc(limit=3).replace(
+            "\n", " | "))
+    if errors:
+        result["error"] = "; ".join(errors[:12])
+    print(json.dumps(result))
+    return rc
+
+
+def _main(result, errors):
     import jax
     import jax.numpy as jnp
     import ldso_tpu  # noqa: F401
@@ -47,6 +122,7 @@ def main():
     cfg = dataclasses.replace(Config(), enable_loop_closing=False)
     calib = default_calib(640, 480)
     scene = PlaneScene(freq_hi=25.0, contrast=80.0)
+    result["device"] = str(jax.devices()[0])
 
     n_warm = 56       # bootstrap + overflow the window so marginalization
     n_meas = 48       # (and its compiles) happen before the measured region
@@ -66,14 +142,10 @@ def main():
         images.append(_quant8(img))
 
     fs = FullSystem(calib, cfg)
-    for i in range(n_warm):
-        fs.add_active_frame(images[i], i, 1.0, i * 0.05)
-        if fs.is_lost or fs.init_failed:
-            print(json.dumps({"metric": "frames/sec synthetic 640x480 VO",
-                              "value": 0.0, "unit": "fps",
-                              "vs_baseline": 0.0,
-                              "error": "diverged in warmup"}))
-            return 1
+    _drive(fs, images[:n_warm], range(n_warm), errors, "warmup")
+    if fs.is_lost or fs.init_failed:
+        errors.append("diverged in warmup")
+        return 0
 
     # pre-compile the retry-batch tracker (runs only on hard frames; its
     # first call must not land in the measured region)
@@ -82,29 +154,36 @@ def main():
     tries = _motion_hypotheses(np.eye(4), np.eye(4))
     if len(tries) > 1 and fs.tracker_ref is not None:
         from ldso_tpu.ops.preprocess import make_pyramid
-        pyr = make_pyramid(jnp.asarray(images[n_warm - 1]),
-                           calib.levels, None)
-        jax.block_until_ready(tracker.track_frame_hypotheses(
-            fs.tracker_ref, pyr,
-            jnp.asarray(np.stack(tries[1:5]), jnp.float32),  # retry CHUNK=4
-            jnp.zeros(2, jnp.float32), jnp.float32(1.0),
-            jnp.full((calib.levels,), 1e9, jnp.float32),
-            calib, cfg, calib.levels - 1))
+
+        def _precompile_retry():
+            pyr = make_pyramid(jnp.asarray(images[n_warm - 1]),
+                               calib.levels, None)
+            jax.block_until_ready(tracker.track_frame_hypotheses(
+                fs.tracker_ref, pyr,
+                jnp.asarray(np.stack(tries[1:5]), jnp.float32),  # CHUNK=4
+                jnp.zeros(2, jnp.float32), jnp.float32(1.0),
+                jnp.full((calib.levels,), 1e9, jnp.float32),
+                calib, cfg, calib.levels - 1))
+
+        try:
+            _retry(_precompile_retry, label="precompile", errors=errors)
+        except Exception as e:  # noqa: BLE001 — best-effort warmup only
+            errors.append(f"precompile failed: {type(e).__name__}")
 
     sync_windows = []
     w = n_meas // 3
     for k in range(3):
         lo, hi = n_warm + k * w, n_warm + (k + 1) * w
         t0 = time.time()
-        for i in range(lo, hi):
-            fs.add_active_frame(images[i], i, 1.0, i * 0.05)
-            if fs.is_lost:
-                break
+        _drive(fs, images[lo:hi], range(lo, hi), errors, f"sync{k}")
         sync_windows.append(w / max(time.time() - t0, 1e-9))
+        result["sync_fps_windows"] = [round(x, 2) for x in sync_windows]
         if fs.is_lost:
             break
     n_done = len([f for f in fs.all_frames if f.id >= n_warm])
     fps = float(np.median(sync_windows))
+    result["sync_fps"] = round(fps, 2)
+    result["frames_measured"] = n_done
 
     # ---- pipelined mode: tracking overlaps mapping on its own thread, the
     # reference's actual run configuration (deliverTrackedFrame/mappingLoop,
@@ -122,65 +201,88 @@ def main():
         img, _ = scene.render(calib, jnp.asarray(poses[-1], jnp.float32))
         more.append(_quant8(img))
     piped_windows = []
+    baseline_fps = 18.5
     for wk in range(3):
         pipe = AsyncPipeline(fs)
         t0 = time.time()
-        for k in range(wk * n_pw, (wk + 1) * n_pw):
-            pipe.add_active_frame(more[k], N + k, 1.0, (N + k) * 0.05)
-            if fs.is_lost:
-                break
-        pipe.block_until_mapping_is_finished()
+        try:
+            _drive(pipe, more[wk * n_pw:(wk + 1) * n_pw],
+                   range(N + wk * n_pw, N + (wk + 1) * n_pw),
+                   errors, f"piped{wk}")
+            _retry(pipe.block_until_mapping_is_finished,
+                   label=f"piped{wk}:drain", errors=errors)
+        except Exception as e:  # noqa: BLE001 — keep windows measured so far
+            if not _is_transient(e):
+                raise
+            errors.append(f"piped window {wk} aborted: {type(e).__name__}")
+            break
         piped_windows.append(n_pw / max(time.time() - t0, 1e-9))
+        # persist incrementally: the headline survives a later-mode crash
+        piped_fps = float(np.median(piped_windows))
+        result["value"] = round(piped_fps, 2)
+        result["vs_baseline"] = round(piped_fps / baseline_fps, 3)
+        result["piped_fps_windows"] = [round(x, 2) for x in piped_windows]
         if fs.is_lost:
             break
-    piped_fps = float(np.median(piped_windows))
 
     # sanity: trajectory quality (similarity-aligned ATE) over the
     # synchronous portion (the pipelined extension drops frames
     # nondeterministically under load, exactly like the reference)
-    est_ids = [f.id for f in fs.all_frames if f.pose_valid and f.id < N]
-    est = [f.T_cw.copy() for f in fs.all_frames
-           if f.pose_valid and f.id < N]
-    gt = [poses[i] for i in est_ids]
-    est_c = np.stack([np.linalg.inv(T)[:3, 3] for T in est])
-    gt_c = np.stack([np.linalg.inv(T)[:3, 3] for T in gt])
-    ec = est_c - est_c.mean(0)
-    gc = gt_c - gt_c.mean(0)
-    s = np.sqrt((gc ** 2).sum() / max((ec ** 2).sum(), 1e-12))
-    U, _, Vt = np.linalg.svd(ec.T @ gc)
-    R = (U @ Vt).T
-    ate = float(np.sqrt(np.mean(np.sum((gc - s * (ec @ R.T)) ** 2, 1))))
+    try:
+        est_ids = [f.id for f in fs.all_frames if f.pose_valid and f.id < N]
+        est = [f.T_cw.copy() for f in fs.all_frames
+               if f.pose_valid and f.id < N]
+        gt = [poses[i] for i in est_ids]
+        est_c = np.stack([np.linalg.inv(T)[:3, 3] for T in est])
+        gt_c = np.stack([np.linalg.inv(T)[:3, 3] for T in gt])
+        ec = est_c - est_c.mean(0)
+        gc = gt_c - gt_c.mean(0)
+        s = np.sqrt((gc ** 2).sum() / max((ec ** 2).sum(), 1e-12))
+        U, _, Vt = np.linalg.svd(ec.T @ gc)
+        R = (U @ Vt).T
+        ate = float(np.sqrt(np.mean(np.sum((gc - s * (ec @ R.T)) ** 2, 1))))
+        result["ate_m_sim_aligned"] = round(ate, 5)
+    except Exception:  # noqa: BLE001
+        errors.append("ate computation failed")
+
+    fails = getattr(fs, "trace_lane_transfer_failures", 0)
+    if fails:
+        result["trace_lane_transfer_failures"] = fails
 
     # ---- aggregate multi-sequence VO: S complete pipelines share the chip,
     # dispatches interleave while each host thread waits on its own RPCs
     # (the single-chip analogue of BASELINE config[4]'s per-core replay) ----
-    agg_fps = _bench_multi_sequence_vo(cfg, calib, scene)
+    try:
+        agg_fps = _bench_multi_sequence_vo(cfg, calib, scene)
+        result["aggregate_vo_fps_8seq"] = round(agg_fps, 2)
+    except Exception as e:  # noqa: BLE001 — optional mode
+        if not _is_transient(e):
+            raise
+        errors.append(f"aggregate mode failed: {type(e).__name__}")
 
     # ---- batched-throughput mode (BASELINE config[4]): many sequences in
     # lockstep through the tracking kernel — the TPU scaling axis ----------
-    batched_fps = _bench_batched_tracking()
+    try:
+        batched_fps = _retry(_bench_batched_tracking, label="batched",
+                             errors=errors)
+        result["batched_tracking_fps_16seq"] = round(batched_fps, 1)
+    except Exception as e:  # noqa: BLE001 — optional mode
+        if not _is_transient(e):
+            raise
+        errors.append(f"batched mode failed: {type(e).__name__}")
 
     # measured: reference LDSO built from source and run on this container's
     # CPU (1x Xeon 2.10 GHz) over the SAME synthetic trajectory: 54.0 ms/f
-    # pure DSO (BASELINE.md "Measured reference numbers")
-    baseline_fps = 18.5
+    # pure DSO (BASELINE.md "Measured reference numbers").
     # headline = the pipelined (tracking thread + mapping thread) mode:
     # the reference's 18.5 fps was measured in ITS default threaded
-    # configuration, so this is the apples-to-apples number
-    print(json.dumps({
-        "metric": "frames/sec synthetic 640x480 VO (pipelined, preset 0)",
-        "value": round(piped_fps, 2),
-        "unit": "fps",
-        "vs_baseline": round(piped_fps / baseline_fps, 3),
-        "ate_m_sim_aligned": round(ate, 5),
-        "frames_measured": n_done,
-        "piped_fps_windows": [round(x, 2) for x in piped_windows],
-        "sync_fps": round(fps, 2),
-        "sync_fps_windows": [round(x, 2) for x in sync_windows],
-        "aggregate_vo_fps_8seq": round(agg_fps, 2),
-        "batched_tracking_fps_16seq": round(batched_fps, 1),
-        "device": str(jax.devices()[0]),
-    }))
+    # configuration, so this is the apples-to-apples number. If no pipelined
+    # window survived, fall back to the synchronous number so the round
+    # still records a real fps.
+    if not piped_windows and sync_windows:
+        result["metric"] = "frames/sec synthetic 640x480 VO (sync fallback)"
+        result["value"] = round(fps, 2)
+        result["vs_baseline"] = round(fps / baseline_fps, 3)
     return 0
 
 
@@ -215,7 +317,12 @@ def _bench_multi_sequence_vo(cfg, calib, scene, S: int = 8,
 
     def warm_range(fs, imgs, lo, hi):
         for i in range(lo, hi):
-            fs.add_active_frame(imgs[i], i, 1.0, i * 0.05)
+            try:
+                _retry(fs.add_active_frame, imgs[i], i, 1.0, i * 0.05,
+                       label=f"agg-warm{i}")
+            except Exception as e:  # noqa: BLE001 — skip flaked frame
+                if not _is_transient(e):
+                    raise
             if fs.is_lost:
                 break
 
@@ -228,7 +335,12 @@ def _bench_multi_sequence_vo(cfg, calib, scene, S: int = 8,
 
     def piped_range(pipe, imgs, lo, hi):
         for i in range(lo, hi):
-            pipe.add_active_frame(imgs[i], i, 1.0, i * 0.05)
+            try:
+                _retry(pipe.add_active_frame, imgs[i], i, 1.0, i * 0.05,
+                       label=f"agg{i}")
+            except Exception as e:  # noqa: BLE001 — skip flaked frame
+                if not _is_transient(e):
+                    raise
             if pipe.fs.is_lost:
                 break
         pipe.block_until_mapping_is_finished()

@@ -891,7 +891,19 @@ class FullSystem:
             if vals.shape[0] < self.ef.F + 1 + 64:   # not counts+watermark
                 return
             n = int(vals[self.ef.F])                 # prefix watermark
-        except Exception:
+        except (jax.errors.JaxRuntimeError, RuntimeError, ValueError) as e:
+            # a failed transfer pins the trace bucket at its previous size
+            # until the next keyframe restages counts — correct but up to 2x
+            # slower; make the first failure visible and count the rest so
+            # bench.py can report it (VERDICT r2 weak #6)
+            self.trace_lane_transfer_failures = getattr(
+                self, "trace_lane_transfer_failures", 0) + 1
+            if self.trace_lane_transfer_failures == 1:
+                import logging
+                logging.getLogger("ldso_tpu").warning(
+                    "arena_counts transfer failed (trace bucket pinned at %d "
+                    "until next keyframe): %s", self._trace_lanes, e)
+            self._imm_counts_async = None   # drop the poisoned handle
             return
         cap = self.imm_arena.host.shape[0]
         for b in (1024, 2048, cap):
@@ -941,9 +953,15 @@ class FullSystem:
         # keyframe path, so the staged counts are exact); fall back to one
         # padded synchronous pull on the first keyframe
         h = getattr(self, "_imm_counts_async", None)
+        imm_counts = None
         if h is not None:
-            imm_counts = np.asarray(h)[:self.ef.F]
-        else:
+            try:
+                imm_counts = np.asarray(h)[:self.ef.F]
+            except (jax.errors.JaxRuntimeError, RuntimeError, ValueError):
+                self.trace_lane_transfer_failures = getattr(
+                    self, "trace_lane_transfer_failures", 0) + 1
+                self._imm_counts_async = None
+        if imm_counts is None:
             from ldso_tpu.utils.transfer import device_get
             imm_counts = device_get(immature.arena_counts(self.imm_arena,
                                                           self.ef.F))
