@@ -15,7 +15,8 @@ def parse_args(argv):
     opts = dict(files=None, calib=None, gamma=None, vignette=None,
                 vocab=None, preset=0, mode=0, loopclosing=True,
                 start=0, end=100000, output="results.txt", nogui=True,
-                point_selection=None, quiet=False, speed=0.0)
+                point_selection=None, quiet=False, speed=0.0,
+                noise=0.0, blur=0.0)
     for arg in argv:
         if "=" not in arg:
             continue
@@ -30,6 +31,12 @@ def parse_args(argv):
             opts["point_selection"] = int(v)
         elif k == "speed":
             opts["speed"] = float(v)   # >0: timestamp-paced, skip if behind
+        elif k == "noise":
+            # benchmark_varNoise equivalent (px; Setting.cc:95-101)
+            opts["noise"] = float(v)
+        elif k == "blur":
+            # benchmark_varBlurNoise equivalent (sigma; Setting.cc:95-101)
+            opts["blur"] = float(v)
         elif k == "quiet":
             opts["quiet"] = v not in ("0", "false", "False")
         elif k == "nogui":
@@ -55,7 +62,7 @@ def build_system(opts, dataset_type: str):
     if opts["files"] is None or opts["calib"] is None:
         print("usage: files=<path> calib=<camera.txt> [gamma=] [vignette=] "
               "[vocab=] [preset=0..3] [mode=0|1] [loopclosing=1] "
-              "[start=] [end=] [output=results.txt]")
+              "[start=] [end=] [output=results.txt] [noise=px] [blur=sigma]")
         sys.exit(1)
 
     cfg = make_preset(opts["preset"])
@@ -69,6 +76,8 @@ def build_system(opts, dataset_type: str):
 
     reader = ImageFolderReader(opts["files"], opts["calib"], opts["gamma"],
                                opts["vignette"], dataset_type=dataset_type)
+    reader.var_noise = opts.get("noise", 0.0)
+    reader.var_blur = opts.get("blur", 0.0)
     calib = reader.calibration()
 
     vocab = None

@@ -77,6 +77,13 @@ class ImageFolderReader:
         if vignette_file and os.path.exists(vignette_file):
             vig = _read_image_file(vignette_file)
         self.undistorter = Undistorter.from_file(calib_file, gamma_file, vig)
+        # benchmark fault-injection knobs (benchmark_varNoise /
+        # benchmark_varBlurNoise / benchmark_noiseGridsize,
+        # Setting.cc:95-101; applied where the reference does — inside the
+        # undistortion stage, Undistort.cc:372-470). CLI: noise= / blur=.
+        self.var_noise = 0.0
+        self.var_blur = 0.0
+        self.noise_grid_size = 3
 
     # ------------------------------------------------------------- loaders
     def _load_kitti(self):
@@ -170,6 +177,14 @@ class ImageFolderReader:
                                jnp.asarray(u.remap_x), jnp.asarray(u.remap_y),
                                None, 1)
         img = pyr.dI[0][..., 0]
+        if self.var_noise > 0.0 or self.var_blur > 0.0:
+            import jax
+            from ldso_tpu.ops.perturb import benchmark_perturb
+            # deterministic per-frame key (the reference uses unseeded
+            # rand() here — a nondeterminism SURVEY §4 says to avoid)
+            img = benchmark_perturb(img, jax.random.PRNGKey(idx),
+                                    self.var_noise, self.var_blur,
+                                    self.noise_grid_size)
         expo = self.exposures[idx] if self.exposures else 1.0
         ts = self.timestamps[idx] if self.timestamps else 0.0
         return img, float(expo), float(ts)

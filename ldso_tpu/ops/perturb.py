@@ -71,3 +71,21 @@ def blur_noise(img: jax.Array, key: jax.Array, var_blur: float,
 
     out = separable(img, sig_x, axis=1)
     return separable(out, sig_y, axis=0)
+
+
+def benchmark_perturb(img: jax.Array, key: jax.Array, var_noise: float = 0.0,
+                      var_blur: float = 0.0, grid_size: int = 3) -> jax.Array:
+    """Apply the reference's benchmark perturbations in its order: geometric
+    warp noise first (the reference jitters the remap coordinates inside
+    `undistort<T>`, Undistort.cc:372-470), then variable blur
+    (applyBlurNoise, :480-540). var_noise/var_blur <= 0 skip that stage
+    (setting defaults, Setting.cc:95-101). Host-level gating: each distinct
+    (on/off) combination compiles once."""
+    if var_noise <= 0.0 and var_blur <= 0.0:
+        return img
+    k_warp, k_blur = jax.random.split(jnp.asarray(key))
+    if var_noise > 0.0:
+        img = warp_noise(img, k_warp, jnp.float32(var_noise), grid_size)
+    if var_blur > 0.0:
+        img = blur_noise(img, k_blur, jnp.float32(var_blur), grid_size)
+    return img
