@@ -18,8 +18,11 @@ on a v5e-8 ICI mesh or a CPU-device test mesh.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ldso_tpu.config import Config
@@ -28,6 +31,84 @@ from ldso_tpu.backend import ba
 from ldso_tpu.backend.window import Window
 from ldso_tpu.frontend import tracker
 from ldso_tpu.ops.preprocess import FramePyramid
+
+
+# ---------------------------------------------------------------------------
+# multi-host (DCN) scale-out
+# ---------------------------------------------------------------------------
+
+_distributed_initialized = False
+
+
+def initialize_multihost(coordinator_address: str | None = None,
+                         num_processes: int | None = None,
+                         process_id: int | None = None) -> bool:
+    """Env-guarded `jax.distributed.initialize` — the DCN leg of the scaling
+    design (README "multi-host scale-out"): the *sequence* (replay batch)
+    axis maps across hosts over DCN; within each host the point/pair-block
+    axes ride the ICI mesh. The reference has no distributed runtime at all
+    (SURVEY §2.3), so this is a blueprint axis, not reference parity.
+
+    Reads LDSO_TPU_COORDINATOR / LDSO_TPU_NUM_PROCESSES /
+    LDSO_TPU_PROCESS_ID when arguments are omitted (also accepts the
+    standard JAX_COORDINATOR_ADDRESS set). Returns True when the
+    distributed runtime was (or already is) initialized, False when no
+    multi-host configuration is present — single-process callers fall
+    through untouched.
+    """
+    global _distributed_initialized
+    if _distributed_initialized:
+        return True
+    coord = coordinator_address or os.environ.get(
+        "LDSO_TPU_COORDINATOR", os.environ.get("JAX_COORDINATOR_ADDRESS"))
+    if coord is None:
+        return False
+    nproc = num_processes if num_processes is not None else int(
+        os.environ.get("LDSO_TPU_NUM_PROCESSES",
+                       os.environ.get("JAX_NUM_PROCESSES", "0")))
+    pid = process_id if process_id is not None else int(
+        os.environ.get("LDSO_TPU_PROCESS_ID",
+                       os.environ.get("JAX_PROCESS_ID", "0")))
+    if nproc <= 1:
+        return False
+    jax.distributed.initialize(coordinator_address=coord,
+                               num_processes=nproc, process_id=pid)
+    _distributed_initialized = True
+    return True
+
+
+def global_replay_mesh(seq_axis: str = "seq", dp_axis: str = "dp",
+                       devices=None) -> Mesh:
+    """Global (hosts, devices-per-host) mesh: `seq_axis` spans processes
+    (DCN — the batched-replay sequence axis needs no collectives, so it
+    tolerates DCN latency), `dp_axis` spans each host's local chips (ICI —
+    where make_sharded_build_system's psum rides).
+
+    Single-process (tests, one v5e host) degenerates to (1, n_local); the
+    same pjit'd programs run unchanged. Devices are grouped by their
+    process index explicitly — jax.devices() ordering is not guaranteed to
+    be process-contiguous."""
+    devs = list(devices if devices is not None else jax.devices())
+    by_proc: dict[int, list] = {}
+    for d in devs:
+        by_proc.setdefault(getattr(d, "process_index", 0), []).append(d)
+    counts = {len(v) for v in by_proc.values()}
+    if len(counts) != 1:
+        raise ValueError(f"uneven devices per process: "
+                         f"{ {k: len(v) for k, v in by_proc.items()} }")
+    per_host = counts.pop()
+    grid = np.array([by_proc[p] for p in sorted(by_proc)], dtype=object)
+    return Mesh(grid.reshape(len(by_proc), per_host), (seq_axis, dp_axis))
+
+
+def shard_sequences_global(tree, mesh: Mesh, seq_axis: str = "seq",
+                           dp_axis: str = "dp"):
+    """Shard a leading sequence-batch axis over BOTH mesh axes (hosts x
+    local chips): pure data parallelism for replay, so the DCN dimension
+    never appears inside a collective."""
+    sharding = NamedSharding(mesh, P((seq_axis, dp_axis)))
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, sharding), tree)
 
 
 # ---------------------------------------------------------------------------

@@ -112,5 +112,121 @@ class TestBatchedTracker:
             assert np.linalg.norm(err) < 2e-3, f"seq {b}: {err}"
 
 
+class TestMultiHost:
+    def test_global_mesh_single_process(self):
+        """Single process degenerates to a (1, n_local) mesh; sequence-axis
+        sharding over both axes compiles and runs a psum'd program whose
+        collective rides only the local (ICI-analogue) axis."""
+        if len(jax.devices()) < 2:
+            pytest.skip("needs the multi-device CPU mesh")
+        mesh = replay.global_replay_mesh()
+        assert mesh.axis_names == ("seq", "dp")
+        assert mesh.devices.shape == (1, len(jax.devices()))
+
+        B = 2 * len(jax.devices())
+        x = np.arange(B * 16, dtype=np.float32).reshape(B, 16)
+        xs = replay.shard_sequences_global(x, mesh)
+
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        @jax.jit
+        def step(a):
+            return a * 2.0 + 1.0
+
+        out = np.asarray(step(xs))
+        np.testing.assert_allclose(out, x * 2.0 + 1.0)
+
+        # a dp-axis psum (the sharded-BA reduction) under the global mesh
+        def reduce_fn(a):
+            return jax.lax.psum(jnp.sum(a), "dp")
+
+        total = jax.jit(jax.shard_map(
+            reduce_fn, mesh=mesh, in_specs=P(("seq", "dp")),
+            out_specs=P(), check_vma=False))(xs)
+        np.testing.assert_allclose(float(np.asarray(total)), x.sum(),
+                                   rtol=1e-6)
+
+    def test_global_mesh_groups_by_process(self):
+        """Device grouping uses process_index, not jax.devices() order."""
+
+        class FakeDev:
+            def __init__(self, pid, did):
+                self.process_index = pid
+                self.id = did
+
+            def __repr__(self):
+                return f"d{self.process_index}.{self.id}"
+
+        # interleaved order: grouping must still produce (2, 3)
+        devs = [FakeDev(p, i) for i in range(3) for p in (0, 1)]
+        mesh = replay.global_replay_mesh(devices=devs)
+        assert mesh.devices.shape == (2, 3)
+        assert all(d.process_index == 0 for d in mesh.devices[0])
+        assert all(d.process_index == 1 for d in mesh.devices[1])
+
+        with pytest.raises(ValueError):
+            replay.global_replay_mesh(devices=devs + [FakeDev(0, 9)])
+
+    def test_initialize_multihost_noop_without_env(self, monkeypatch):
+        for k in ("LDSO_TPU_COORDINATOR", "JAX_COORDINATOR_ADDRESS"):
+            monkeypatch.delenv(k, raising=False)
+        assert replay.initialize_multihost() is False
+
+    @pytest.mark.slow
+    def test_two_process_cpu_dryrun(self, tmp_path):
+        """Two actual processes form a jax.distributed cluster on the CPU
+        backend and run the global-mesh replay step (DCN axis collective-
+        free, psum on the local axis only). Skips when the backend build
+        lacks cross-process CPU support."""
+        import subprocess
+        import sys
+
+        script = tmp_path / "mh_dryrun.py"
+        script.write_text(
+            "import os, sys\n"
+            "os.environ['XLA_FLAGS'] = "
+            "'--xla_force_host_platform_device_count=4'\n"
+            "os.environ['JAX_PLATFORMS'] = 'cpu'\n"
+            "import jax\n"
+            "jax.config.update('jax_platforms', 'cpu')\n"
+            "import numpy as np\n"
+            "from ldso_tpu.parallel import replay\n"
+            "pid = int(sys.argv[1])\n"
+            "ok = replay.initialize_multihost('127.0.0.1:18733', 2, pid)\n"
+            "assert ok\n"
+            "assert jax.process_count() == 2\n"
+            "mesh = replay.global_replay_mesh()\n"
+            "assert mesh.devices.shape == (2, 4), mesh.devices.shape\n"
+            "x = np.ones((16, 8), np.float32)\n"
+            "sharding = jax.sharding.NamedSharding(\n"
+            "    mesh, jax.sharding.PartitionSpec(('seq', 'dp')))\n"
+            "xs = jax.make_array_from_process_local_data(sharding, "
+            "x[pid * 8:(pid + 1) * 8])\n"
+            "out = jax.jit(lambda a: a * 3.0)(xs)\n"
+            "for s in out.addressable_shards:\n"
+            "    assert np.allclose(np.asarray(s.data), 3.0)\n"
+            "print('MH_OK', pid)\n")
+        env = dict(**__import__("os").environ)
+        env["PYTHONPATH"] = "/root/repo:" + env.get("PYTHONPATH", "")
+        procs = [subprocess.Popen([sys.executable, str(script), str(p)],
+                                  stdout=subprocess.PIPE,
+                                  stderr=subprocess.STDOUT, env=env)
+                 for p in range(2)]
+        try:
+            outs = [p.communicate(timeout=180)[0].decode() for p in procs]
+        except subprocess.TimeoutExpired:
+            for p in procs:
+                p.kill()
+            pytest.skip("2-process CPU cluster rendezvous timed out here")
+        if any(p.returncode != 0 for p in procs):
+            joined = "\n".join(outs)
+            if ("UNIMPLEMENTED" in joined or "not supported" in joined
+                    or "collectives" in joined):
+                pytest.skip(f"CPU backend lacks multi-process support: "
+                            f"{joined[-300:]}")
+            pytest.fail(joined[-2000:])
+        assert all("MH_OK" in o for o in outs)
+
+
 if __name__ == "__main__":
     pytest.main([__file__, "-q", "-x"])
