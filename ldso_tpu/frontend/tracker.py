@@ -166,10 +166,14 @@ def make_tracker_ref_from_idepth(idepth_map: jax.Array, pyr: FramePyramid,
 # ---------------------------------------------------------------------------
 
 def _calc_res(ref: TrackerRef, pyr_new: FramePyramid, lvl: int, T, aff_new,
-              new_exposure, cutoff, calib: Calibration, cfg: Config):
+              new_exposure, cutoff, calib: Calibration, cfg: Config,
+              compute_flow: bool = True):
     """Masked batched version of calcRes (CoarseTracker.cc:440-572).
 
-    Returns per-point buffers + [E, numTerms, flowT, 0, flowRT, satRatio]."""
+    Returns per-point buffers + [E, numTerms, flowT, 0, flowRT, satRatio].
+    compute_flow=False skips the three flow-indicator projections — the
+    reference computes them only at level 0 (CoarseTracker.cc:506-540) and
+    only level 0's value is consumed by the keyframe heuristic."""
     fx, fy = calib.fx[lvl], calib.fy[lvl]
     cx, cy = calib.cx[lvl], calib.cy[lvl]
     wl, hl = calib.w[lvl], calib.h[lvl]
@@ -214,24 +218,28 @@ def _calc_res(ref: TrackerRef, pyr_new: FramePyramid, lvl: int, T, aff_new,
 
     good = ok & ~sat  # contributes to the GN system
 
-    # flow indicators (reference samples every 32nd point at lvl 0; we use
-    # all points — same statistic, deterministic)
-    ptT = p_ref @ Ki.T + t[None, :] * idep[:, None]
-    ptT2 = p_ref @ Ki.T - t[None, :] * idep[:, None]
-    pt3 = p_ref @ RKi.T - t[None, :] * idep[:, None]
+    if compute_flow:
+        # flow indicators (reference samples every 32nd point at lvl 0; we
+        # use all points — same statistic, deterministic)
+        ptT = p_ref @ Ki.T + t[None, :] * idep[:, None]
+        ptT2 = p_ref @ Ki.T - t[None, :] * idep[:, None]
+        pt3 = p_ref @ RKi.T - t[None, :] * idep[:, None]
 
-    def _px(p):
-        return fx * p[:, 0] / p[:, 2] + cx, fy * p[:, 1] / p[:, 2] + cy
+        def _px(p):
+            return fx * p[:, 0] / p[:, 2] + cx, fy * p[:, 1] / p[:, 2] + cy
 
-    KuT, KvT = _px(ptT)
-    KuT2, KvT2 = _px(ptT2)
-    Ku3, Kv3 = _px(pt3)
-    m = ok.astype(jnp.float32)
-    n_flow = jnp.sum(m) + 0.1
-    flow_t = jnp.sum(m * ((KuT - x) ** 2 + (KvT - y) ** 2
-                          + (KuT2 - x) ** 2 + (KvT2 - y) ** 2)) / (2.0 * n_flow)
-    flow_rt = jnp.sum(m * ((Ku - x) ** 2 + (Kv - y) ** 2
-                           + (Ku3 - x) ** 2 + (Kv3 - y) ** 2)) / (2.0 * n_flow)
+        KuT, KvT = _px(ptT)
+        KuT2, KvT2 = _px(ptT2)
+        Ku3, Kv3 = _px(pt3)
+        m = ok.astype(jnp.float32)
+        n_flow = jnp.sum(m) + 0.1
+        flow_t = jnp.sum(m * ((KuT - x) ** 2 + (KvT - y) ** 2
+                              + (KuT2 - x) ** 2 + (KvT2 - y) ** 2)) / (2.0 * n_flow)
+        flow_rt = jnp.sum(m * ((Ku - x) ** 2 + (Kv - y) ** 2
+                               + (Ku3 - x) ** 2 + (Kv3 - y) ** 2)) / (2.0 * n_flow)
+    else:
+        flow_t = jnp.float32(0.0)
+        flow_rt = jnp.float32(0.0)
 
     bufs = dict(u=u, v=v, idepth=new_idepth, dx=hit[:, 1], dy=hit[:, 2],
                 residual=residual, hw=hw, color=color,
@@ -307,26 +315,30 @@ def _level_block(ref, pyr_new, lvl, state, new_exposure, min_res_abort,
     """One pyramid level: cutoff adaptation + LM loop. Returns updated state
     and whether the level wants a repeat (cutoff > 1)."""
     T, aff, ok_flag, last_res, flow = state
+    flow_here = (lvl == 0)
 
-    # adapt cutoff until < 60% saturated (CoarseTracker.cc:89-94)
+    # adapt cutoff until < 60% saturated (CoarseTracker.cc:89-94); the warp
+    # buffers ride the carry so the final pass doubles as the LM-entry
+    # linearization (one gather pass instead of the naive two)
     def cutoff_cond(c):
-        cutoff_rep, stats = c
+        cutoff_rep, _, stats = c
         return (stats[5] > 0.6) & (cutoff_rep < 50.0)
 
     def cutoff_body(c):
-        cutoff_rep, _ = c
+        cutoff_rep, _, _ = c
         cutoff_rep = cutoff_rep * 2.0
-        _, stats = _calc_res(ref, pyr_new, lvl, T, aff, new_exposure,
-                             cfg.coarse_cutoff_th * cutoff_rep, calib, cfg)
-        return cutoff_rep, stats
+        bufs, stats = _calc_res(ref, pyr_new, lvl, T, aff, new_exposure,
+                                cfg.coarse_cutoff_th * cutoff_rep, calib, cfg,
+                                compute_flow=flow_here)
+        return cutoff_rep, bufs, stats
 
-    _, stats0 = _calc_res(ref, pyr_new, lvl, T, aff, new_exposure,
-                          cfg.coarse_cutoff_th, calib, cfg)
-    cutoff_rep, stats0 = jax.lax.while_loop(cutoff_cond, cutoff_body,
-                                            (jnp.float32(1.0), stats0))
+    bufs0, stats0 = _calc_res(ref, pyr_new, lvl, T, aff, new_exposure,
+                              cfg.coarse_cutoff_th, calib, cfg,
+                              compute_flow=flow_here)
+    cutoff_rep, bufs0, stats0 = jax.lax.while_loop(
+        cutoff_cond, cutoff_body, (jnp.float32(1.0), bufs0, stats0))
     cutoff = cfg.coarse_cutoff_th * cutoff_rep
 
-    bufs0, _ = _calc_res(ref, pyr_new, lvl, T, aff, new_exposure, cutoff, calib, cfg)
     H0, b0, scale = _calc_gs(bufs0, lvl, ref, aff, new_exposure, calib)
 
     def lm_cond(s):
@@ -344,23 +356,24 @@ def _level_block(ref, pyr_new, lvl, state, new_exposure, min_res_abort,
 
         T_new = lie.se3_exp(inc_scaled[:6]) @ s["T"]
         aff_new = s["aff"] + inc_scaled[6:8]
-        _, stats_new = _calc_res(ref, pyr_new, lvl, T_new, aff_new,
-                                 new_exposure, cutoff, calib, cfg)
+        # ONE warp pass per iteration: the candidate's buffers serve both
+        # the accept test and (if accepted) the next iteration's H, b —
+        # the reference recomputes calcRes+calcGSSSE only on accept
+        # (CoarseTracker.cc:150-183); fusing them halves the gather passes,
+        # at the cost of one wasted 8x8 matmul pair on rejected steps.
+        bufs_n, stats_new = _calc_res(ref, pyr_new, lvl, T_new, aff_new,
+                                      new_exposure, cutoff, calib, cfg,
+                                      compute_flow=flow_here)
+        Hn, bn, _ = _calc_gs(bufs_n, lvl, ref, aff_new, new_exposure, calib)
         accept = (stats_new[0] / jnp.maximum(stats_new[1], 1.0)
                   < s["stats"][0] / jnp.maximum(s["stats"][1], 1.0))
 
-        def on_accept(s):
-            bufs_n, _ = _calc_res(ref, pyr_new, lvl, T_new, aff_new,
-                                  new_exposure, cutoff, calib, cfg)
-            Hn, bn, _ = _calc_gs(bufs_n, lvl, ref, aff_new, new_exposure, calib)
-            return {**s, "T": T_new, "aff": aff_new, "H": Hn, "b": bn,
-                    "stats": stats_new, "lam": s["lam"] * 0.5}
-
-        def on_reject(s):
-            lam2 = jnp.maximum(s["lam"] * 4.0, _LAMBDA_EXTRAPOLATION_LIMIT)
-            return {**s, "lam": lam2}
-
-        s = jax.lax.cond(accept, on_accept, on_reject, s)
+        acc = {**s, "T": T_new, "aff": aff_new, "H": Hn, "b": bn,
+               "stats": stats_new, "lam": s["lam"] * 0.5}
+        rej = {**s, "lam": jnp.maximum(s["lam"] * 4.0,
+                                       _LAMBDA_EXTRAPOLATION_LIMIT)}
+        s = jax.tree_util.tree_map(
+            lambda a, r: jnp.where(accept, a, r), acc, rej)
         s["done"] = jnp.linalg.norm(inc) <= 1e-3
         s["it"] = s["it"] + 1
         return s
