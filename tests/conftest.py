@@ -82,12 +82,47 @@ SMOKE_TESTS = {
 }
 
 
+# ---------------------------------------------------------------------------
+# Mid tier (`pytest -m mid`, ~4-5 min): the depth the smoke tier skips —
+# all device-LM solver-mode paths, the bit-exact determinism replay, the
+# pipelined TrackChain, a full loop detect+Sim3 integration (not VO e2e:
+# one loop VO e2e costs >= 4 min alone on this 1-core box and stays in the
+# full tier, test_full_system_loop.py), fault injection, and the
+# multi-host mesh logic. `pytest -m "smoke or mid"` targets < 8 min.
+# ---------------------------------------------------------------------------
+MID_TESTS = {
+    # device BA: every solver-mode bit combination + convergence
+    "test_backend_device.py::TestDeviceOptimize::test_device_converges_to_gt",
+    "test_backend_device.py::TestSolverModes::test_svd_mode_matches_ldlt",
+    "test_backend_device.py::TestSolverModes::test_momentum_mode_converges",
+    "test_backend_device.py::TestSolverModes::test_momentum_with_force_accept_runs",
+    "test_backend_device.py::TestSolverModes::test_stepmomentum_and_remove_poseprior_run",
+    "test_backend_device.py::TestSolverModes::test_orthogonalize_system_mode_runs",
+    # determinism: bit-exact replay of the sync pipeline
+    "test_determinism.py::TestDeterminism::test_replay_bit_exact",
+    # pipelined tracking chain
+    "test_pipeline.py::TestTrackChain::test_chain_prep_matches_host_hypothesis",
+    "test_pipeline.py::TestTrackChain::test_chain_update_advances_and_falls_back",
+    # loop stack integration: detect + Sim3 on a synthetic revisit
+    "test_loop.py::TestLoopClosing::test_detect_and_correct_synthetic_loop",
+    # fault injection ops + reader/CLI wiring
+    "test_perturb.py::TestPerturbOps::test_zero_amplitude_is_identity",
+    "test_perturb.py::TestPerturbOps::test_both_stages_compose",
+    "test_perturb.py::TestReaderWiring::test_reader_applies_perturbation",
+    # multi-host mesh construction + single-process degenerate path
+    "test_replay.py::TestMultiHost::test_global_mesh_single_process",
+    "test_replay.py::TestMultiHost::test_global_mesh_groups_by_process",
+}
+
+
 def pytest_collection_modifyitems(config, items):
     for item in items:
         nodeid = item.nodeid.replace("\\", "/")
         key = nodeid.split("tests/")[-1]
         if key in SMOKE_TESTS:
             item.add_marker(pytest.mark.smoke)
+        if key in MID_TESTS:
+            item.add_marker(pytest.mark.mid)
 
 
 @pytest.fixture(autouse=True, scope="module")
