@@ -163,6 +163,8 @@ def run(opts, dataset_type: str, kitti_output: bool = False):
         print(fs.timer.summary())
 
     # final global optimization + outputs
+    if fs.loop_closing is not None:
+        print(f"loops closed: {fs.loop_closing.n_loops_closed}")
     if fs.loop_closing is not None and fs.global_map.num_frames() > 4:
         from ldso_tpu.loop import posegraph
         posegraph.run_pose_graph(fs.global_map)
