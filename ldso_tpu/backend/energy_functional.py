@@ -731,7 +731,7 @@ class EnergyFunctional:
 
         from ldso_tpu.config import SOLVER_MOMENTUM
         momentum = bool(cfg.solver_mode & SOLVER_MOMENTUM)
-        if cfg.force_accept_step and not momentum:
+        if cfg.ba_device_lm and cfg.force_accept_step and not momentum:
             from ldso_tpu.backend import ba_device
             n_full = CPARS + 8 * self.F
             HMp = np.zeros((n_full, n_full), np.float32)

@@ -100,6 +100,11 @@ class Config:
     force_accept_step: bool = True             # (Setting.cc:77)
     relin_always: bool = True                  # (Setting.cc:73)
     fix_calib: bool = False
+    # run the whole windowed-BA LM loop as one device program
+    # (backend/ba_device.py, f32 solve). False = host-orchestrated loop with
+    # the f64 HM/bM + f64 scaled-LDLT solve (EnergyFunctional.cc:324-337
+    # double semantics) — the ATE-ablation / parity-debug mode.
+    ba_device_lm: bool = True
 
     # --- priors (Setting.cc:16-22) ------------------------------------------
     idepth_fix_prior: float = 50.0 * 50.0
@@ -139,6 +144,12 @@ class Config:
     trace_slack_interval: float = 1.5
     trace_min_improvement_factor: float = 2.0
 
+    # chamfer relaxation steps for the activation-spacing distance map.
+    # 18 is provably decision-equivalent to the reference's 40 BFS rounds
+    # for the default gates (see _gate_candidates_fused); 40 restores the
+    # reference's exact bound (CoarseTracker.cc:726) for ablations.
+    dist_map_steps: int = 18
+
     # --- pixel selection ------------------------------------------------------
     point_selection: int = 1                   # 0=DSO grad, 1=LDSO corner-aware, 2=random
     min_grad_hist_cut: float = 0.5             # (Setting.cc:87)
@@ -165,6 +176,30 @@ class Config:
 
     # --- misc -------------------------------------------------------------------
     seed: int = 3141592                        # PixelSelector srand (PixelSelector2.cc:11)
+
+    def validate(self) -> "Config":
+        """Config-time mode interlocks (the reference checks these at CLI
+        startup, run_dso_tum_mono.cc:286-290; solver-mode interactions were
+        previously a runtime ValueError deep in EnergyFunctional.optimize).
+        Returns self so call sites can chain."""
+        if self.enable_loop_closing and self.point_selection != 1:
+            raise ValueError(
+                "enable_loop_closing requires point_selection=1 (LDSO "
+                "corner-aware selection provides the ORB features loop "
+                "closing matches on; reference interlock "
+                "run_dso_tum_mono.cc:286-290)")
+        if self.solver_mode & SOLVER_MOMENTUM and not self.ba_device_lm:
+            # momentum always uses the host loop; nothing to check
+            pass
+        if not self.force_accept_step and self.ba_device_lm and (
+                self.solver_mode & SOLVER_MOMENTUM):
+            raise ValueError(
+                "SOLVER_MOMENTUM with force_accept_step=False is "
+                "unsupported on the device LM path; set ba_device_lm=False "
+                "for the host-orchestrated momentum loop")
+        if len(self.coarse_lm_iterations) < PYR_LEVELS:
+            raise ValueError("coarse_lm_iterations must cover PYR_LEVELS")
+        return self
 
     def pyr_levels_used(self, w: int, h: int) -> int:
         """Number of pyramid levels: halve until w*h <= 5000, capped at

@@ -60,6 +60,83 @@ def bilinear(img, x, y):
     return out
 
 
+def pack_taps(img):
+    """Pack the 4 bilinear taps into the channel axis: (H, W[, C]) ->
+    (H, W, 4C) with [y, x] = [img[y,x], img[y,x+1], img[y+1,x], img[y+1,x+1]].
+
+    One row-gather of the packed image fetches every tap a bilinear sample
+    needs — 4x fewer gather indices than the 4-tap formulation. On TPU the
+    per-index cost of the serialized gather loop dominates over bytes moved
+    (BASELINE.md: the hot programs are index-bound, not byte-bound), so the
+    4x index reduction is the win; the packed image costs 4x the HBM of the
+    plain one and is built once per frame with dense shifts.
+
+    The edge replication never affects results: `bilinear` clamps x to
+    W-1.001 so the x+1/y+1 taps stay in range, matching the reference's
+    border guards (GlobalFuncs.h:55-67 assumes in-bounds access).
+    """
+    if img.ndim == 2:
+        img = img[..., None]
+    right = jnp.concatenate([img[:, 1:], img[:, -1:]], axis=1)
+    down = jnp.concatenate([img[1:], img[-1:]], axis=0)
+    down_right = jnp.concatenate([down[:, 1:], down[:, -1:]], axis=1)
+    return jnp.concatenate([img, right, down, down_right], axis=-1)
+
+
+def bilinear_packed(packed, x, y, channels: int):
+    """Bilinear sample from a `pack_taps` image with ONE gather.
+
+    packed: (H, W, 4*channels); x, y: (...) float.
+    Returns (..., channels) (or (...) if channels == 1 and the caller
+    squeezes). Bit-identical factorization to `bilinear`.
+    """
+    if jax.default_backend() == "tpu":
+        x, y = jax.lax.optimization_barrier((x, y))
+    H, W = packed.shape[0], packed.shape[1]
+    C = channels
+    x = jnp.clip(x, 0.0, W - 1.001)
+    y = jnp.clip(y, 0.0, H - 1.001)
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    dx = (x - x0).astype(packed.dtype)[..., None]
+    dy = (y - y0).astype(packed.dtype)[..., None]
+    idx = y0.astype(jnp.int32) * W + x0.astype(jnp.int32)
+    r = jnp.take(packed.reshape(H * W, 4 * C), idx, axis=0)   # (..., 4C)
+    dxdy = dx * dy
+    out = (dxdy * r[..., 3 * C:4 * C] + (dy - dxdy) * r[..., 2 * C:3 * C]
+           + (dx - dxdy) * r[..., C:2 * C]
+           + (1.0 - dx - dy + dxdy) * r[..., 0:C])
+    if jax.default_backend() == "tpu":
+        out = jax.lax.optimization_barrier(out)
+    return out
+
+
+def bilinear_packed_frames(packed_stack, fidx, x, y, channels: int):
+    """`bilinear_packed` over a stacked per-frame packed image
+    (F, H, W, 4C) with a per-element frame index (the packed counterpart
+    of backend.ba._bilinear_frames)."""
+    if jax.default_backend() == "tpu":
+        x, y = jax.lax.optimization_barrier((x, y))
+    F, H, W = packed_stack.shape[0], packed_stack.shape[1], packed_stack.shape[2]
+    C = channels
+    x = jnp.clip(x, 0.0, W - 1.001)
+    y = jnp.clip(y, 0.0, H - 1.001)
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    dx = (x - x0).astype(packed_stack.dtype)[..., None]
+    dy = (y - y0).astype(packed_stack.dtype)[..., None]
+    idx = (fidx * (H * W) + y0.astype(jnp.int32) * W
+           + x0.astype(jnp.int32))
+    r = jnp.take(packed_stack.reshape(F * H * W, 4 * C), idx, axis=0)
+    dxdy = dx * dy
+    out = (dxdy * r[..., 3 * C:4 * C] + (dy - dxdy) * r[..., 2 * C:3 * C]
+           + (dx - dxdy) * r[..., C:2 * C]
+           + (1.0 - dx - dy + dxdy) * r[..., 0:C])
+    if jax.default_backend() == "tpu":
+        out = jax.lax.optimization_barrier(out)
+    return out
+
+
 def nearest(img, x, y):
     """Nearest-neighbour gather with clamping (fenced like bilinear)."""
     if jax.default_backend() == "tpu":

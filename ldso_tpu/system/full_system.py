@@ -131,7 +131,7 @@ def _gate_candidates_fused(W, newest, arena, KRKis, Kts, min_act_dist,
     inb = ok & (uu > 0) & (vv > 0) & (uu < w1) & (vv < h1)
     uu = jnp.where(inb, uu, w1)          # OOB scatter -> dropped
     occ = jnp.zeros((h1, w1), bool).at[vv, uu].set(True, mode="drop")
-    dist_map = distance_transform(occ, max_k=18)
+    dist_map = distance_transform(occ, max_k=cfg.dist_map_steps)
     h = jnp.clip(arena.host, 0, KRKis.shape[0] - 1)
     pool = arena.pool._replace(valid=arena.pool.valid & (arena.host >= 0))
     to_opt, remove, idm = _gate_candidates(
@@ -433,7 +433,7 @@ class FullSystem:
     def __init__(self, calib: Calibration, cfg: Config,
                  b_grad_lut: Optional[np.ndarray] = None, vocab=None):
         self.calib = calib
-        self.cfg = cfg
+        self.cfg = cfg.validate()
         self.b_grad = jnp.asarray(b_grad_lut, jnp.float32) if b_grad_lut is not None else None
 
         self.ef = EnergyFunctional(cfg, calib)
@@ -1148,8 +1148,8 @@ class FullSystem:
         # ===== the windowed BA =====
         dIs = self._dIs_stack()
         from ldso_tpu.config import SOLVER_MOMENTUM
-        defer = cfg.force_accept_step and not (cfg.solver_mode
-                                               & SOLVER_MOMENTUM)
+        defer = (cfg.ba_device_lm and cfg.force_accept_step
+                 and not (cfg.solver_mode & SOLVER_MOMENTUM))
         with self.timer.stage("kf.ba"):
             rmse = self.ef.optimize(dIs, cfg.max_opt_iterations,
                                     calib.w[0], calib.h[0],
