@@ -137,6 +137,53 @@ def bilinear_packed_frames(packed_stack, fidx, x, y, channels: int):
     return out
 
 
+def bilinear_mxu(img, x, y, precision=jax.lax.Precision.HIGHEST):
+    """Bilinear sampling as an MXU matmul (no gather at all).
+
+    The row interpolation is a one-hot-weighted selection matrix
+    S (N, H) with S[n, yi_n] = 1-dy_n and S[n, yi_n+1] = dy_n, applied to
+    the image as ONE (N, H) @ (H, W*C) matmul on the systolic array; the
+    column interpolation is then a dense 2-tap weighted reduction over W.
+    Gathers on TPU serialize per index, while the matmul runs at MXU rate:
+    for the coarse tracker's point counts (N ~ 1e4) this trades ~20 GFLOP
+    of "wasted" multiply-by-zero work for the elimination of the gather
+    loop entirely.  Numerically identical to `bilinear` up to matmul
+    precision (HIGHEST = true f32; HIGH = bf16x3, ~1e-6 relative).
+
+    img: (H, W) or (H, W, C); x, y: (N,). Returns (N,) or (N, C).
+    """
+    H, W = img.shape[0], img.shape[1]
+    squeeze = img.ndim == 2
+    if squeeze:
+        img = img[..., None]
+    C = img.shape[2]
+    x = jnp.clip(x.reshape(-1), 0.0, W - 1.001)
+    y = jnp.clip(y.reshape(-1), 0.0, H - 1.001)
+    N = x.shape[0]
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    dx = (x - x0).astype(img.dtype)
+    dy = (y - y0).astype(img.dtype)
+    xi = x0.astype(jnp.int32)
+    yi = y0.astype(jnp.int32)
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, (N, H), 1)
+    S = (jnp.where(rows == yi[:, None], 1.0 - dy[:, None], 0.0)
+         + jnp.where(rows == yi[:, None] + 1, dy[:, None], 0.0))
+    M = jax.lax.dot_general(
+        S, img.reshape(H, W * C),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        precision=precision,
+        preferred_element_type=jnp.float32,
+    ).reshape(N, W, C)
+
+    cols = jax.lax.broadcasted_iota(jnp.int32, (N, W), 1)
+    Cw = (jnp.where(cols == xi[:, None], 1.0 - dx[:, None], 0.0)
+          + jnp.where(cols == xi[:, None] + 1, dx[:, None], 0.0))
+    out = jnp.sum(M * Cw[:, :, None], axis=1)
+    return out[..., 0] if squeeze else out
+
+
 def nearest(img, x, y):
     """Nearest-neighbour gather with clamping (fenced like bilinear)."""
     if jax.default_backend() == "tpu":
