@@ -138,6 +138,11 @@ class Config:
     # fewer taps on the hottest per-frame gather lattice. False = the
     # reference's bilinear search (ImmaturePoint.cc:182-205).
     trace_search_nearest: bool = True
+    # with trace_search_nearest: bilinearly re-score the +-K steps around
+    # the nearest-tap argmin (the reference's search energy,
+    # ImmaturePoint.cc:182-205) before the GN refinement — recovers the
+    # bilinear argmin at a fraction of a full bilinear search. 0 = off.
+    trace_refine_steps: int = 2
     trace_gn_iterations: int = 3
     trace_gn_threshold: float = 0.1
     trace_extra_slack_on_th: float = 1.2
@@ -167,6 +172,10 @@ class Config:
     # --- tracking -------------------------------------------------------------
     re_track_threshold: float = 1.5            # (Setting.cc:54)
     coarse_lm_iterations: Tuple[int, ...] = (10, 20, 50, 50, 50, 50)
+    # sample the tracker's warp pass from a pack_taps image (one gather of
+    # 4 pre-packed taps instead of 4 separate gathers; ops/interp.pack_taps).
+    # Bit-identical to the 4-tap path; False = the plain formulation.
+    tracker_packed_taps: bool = True
 
     # --- loop closing -----------------------------------------------------------
     enable_loop_closing: bool = True

@@ -34,7 +34,7 @@ from ldso_tpu.config import Config, SCALE_XI_ROT, SCALE_XI_TRANS, SCALE_A, SCALE
 from ldso_tpu.camera.calib import Calibration
 from ldso_tpu.frontend import affine
 from ldso_tpu.math import lie
-from ldso_tpu.ops.interp import bilinear
+from ldso_tpu.ops.interp import bilinear, bilinear_packed, pack_taps
 from ldso_tpu.ops.preprocess import FramePyramid
 
 _LAMBDA_EXTRAPOLATION_LIMIT = 0.001
@@ -167,13 +167,16 @@ def make_tracker_ref_from_idepth(idepth_map: jax.Array, pyr: FramePyramid,
 
 def _calc_res(ref: TrackerRef, pyr_new: FramePyramid, lvl: int, T, aff_new,
               new_exposure, cutoff, calib: Calibration, cfg: Config,
-              compute_flow: bool = True):
+              compute_flow: bool = True, packed=None):
     """Masked batched version of calcRes (CoarseTracker.cc:440-572).
 
     Returns per-point buffers + [E, numTerms, flowT, 0, flowRT, satRatio].
     compute_flow=False skips the three flow-indicator projections — the
     reference computes them only at level 0 (CoarseTracker.cc:506-540) and
-    only level 0's value is consumed by the keyframe heuristic."""
+    only level 0's value is consumed by the keyframe heuristic.
+    packed: optional pack_taps(pyr_new.dI[lvl]) — ONE gather per point
+    instead of four (built once per track_frame call, amortized over every
+    LM iteration of the level); bit-identical to the 4-tap path."""
     fx, fy = calib.fx[lvl], calib.fy[lvl]
     cx, cy = calib.cx[lvl], calib.cy[lvl]
     wl, hl = calib.w[lvl], calib.h[lvl]
@@ -201,7 +204,10 @@ def _calc_res(ref: TrackerRef, pyr_new: FramePyramid, lvl: int, T, aff_new,
     inb = (Ku > 2) & (Kv > 2) & (Ku < wl - 3) & (Kv < hl - 3) & (new_idepth > 0)
     ok = pvalid & inb
 
-    hit = bilinear(pyr_new.dI[lvl], Ku, Kv)                      # (N,3)
+    if packed is not None:
+        hit = bilinear_packed(packed, Ku, Kv, 3)                 # (N,3)
+    else:
+        hit = bilinear(pyr_new.dI[lvl], Ku, Kv)                  # (N,3)
     finite = jnp.isfinite(hit[:, 0])
     ok = ok & finite
 
@@ -311,7 +317,7 @@ def _solve_inc(H, b, lam, cfg: Config):
 
 
 def _level_block(ref, pyr_new, lvl, state, new_exposure, min_res_abort,
-                 calib, cfg: Config, max_iterations: int):
+                 calib, cfg: Config, max_iterations: int, packed=None):
     """One pyramid level: cutoff adaptation + LM loop. Returns updated state
     and whether the level wants a repeat (cutoff > 1)."""
     T, aff, ok_flag, last_res, flow = state
@@ -329,12 +335,12 @@ def _level_block(ref, pyr_new, lvl, state, new_exposure, min_res_abort,
         cutoff_rep = cutoff_rep * 2.0
         bufs, stats = _calc_res(ref, pyr_new, lvl, T, aff, new_exposure,
                                 cfg.coarse_cutoff_th * cutoff_rep, calib, cfg,
-                                compute_flow=flow_here)
+                                compute_flow=flow_here, packed=packed)
         return cutoff_rep, bufs, stats
 
     bufs0, stats0 = _calc_res(ref, pyr_new, lvl, T, aff, new_exposure,
                               cfg.coarse_cutoff_th, calib, cfg,
-                              compute_flow=flow_here)
+                              compute_flow=flow_here, packed=packed)
     cutoff_rep, bufs0, stats0 = jax.lax.while_loop(
         cutoff_cond, cutoff_body, (jnp.float32(1.0), bufs0, stats0))
     cutoff = cfg.coarse_cutoff_th * cutoff_rep
@@ -363,7 +369,7 @@ def _level_block(ref, pyr_new, lvl, state, new_exposure, min_res_abort,
         # at the cost of one wasted 8x8 matmul pair on rejected steps.
         bufs_n, stats_new = _calc_res(ref, pyr_new, lvl, T_new, aff_new,
                                       new_exposure, cutoff, calib, cfg,
-                                      compute_flow=flow_here)
+                                      compute_flow=flow_here, packed=packed)
         Hn, bn, _ = _calc_gs(bufs_n, lvl, ref, aff_new, new_exposure, calib)
         accept = (stats_new[0] / jnp.maximum(stats_new[1], 1.0)
                   < s["stats"][0] / jnp.maximum(s["stats"][1], 1.0))
@@ -408,10 +414,15 @@ def track_frame(ref: TrackerRef, pyr_new: FramePyramid, T_init, aff_init,
 
     for lvl in range(min(coarsest, nlv - 1), -1, -1):
         max_it = cfg.coarse_lm_iterations[lvl]
+        # one packed-tap image per level, built once and amortized over
+        # every LM iteration's warp pass (4x fewer gather indices)
+        packed = (pack_taps(pyr_new.dI[lvl])
+                  if cfg.tracker_packed_taps else None)
 
-        def run(st, lvl=lvl, max_it=max_it):
+        def run(st, lvl=lvl, max_it=max_it, packed=packed):
             return _level_block(ref, pyr_new, lvl, st, new_exposure,
-                                min_res_abort, calib, cfg, max_it)
+                                min_res_abort, calib, cfg, max_it,
+                                packed=packed)
 
         def run_if_ok(st):
             new_st, repeat = jax.lax.cond(

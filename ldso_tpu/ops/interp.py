@@ -150,15 +150,18 @@ def bilinear_mxu(img, x, y, precision=jax.lax.Precision.HIGHEST):
     loop entirely.  Numerically identical to `bilinear` up to matmul
     precision (HIGHEST = true f32; HIGH = bf16x3, ~1e-6 relative).
 
-    img: (H, W) or (H, W, C); x, y: (N,). Returns (N,) or (N, C).
+    img: (H, W) or (H, W, C); x, y: any matching shape (flattened
+    internally, output restored to x.shape [+ channel axis]).
+    Output dtype follows img.dtype like `bilinear`.
     """
     H, W = img.shape[0], img.shape[1]
     squeeze = img.ndim == 2
     if squeeze:
         img = img[..., None]
     C = img.shape[2]
-    x = jnp.clip(x.reshape(-1), 0.0, W - 1.001)
-    y = jnp.clip(y.reshape(-1), 0.0, H - 1.001)
+    coord_shape = jnp.shape(x)
+    x = jnp.clip(jnp.ravel(x), 0.0, W - 1.001)
+    y = jnp.clip(jnp.ravel(y), 0.0, H - 1.001)
     N = x.shape[0]
     x0 = jnp.floor(x)
     y0 = jnp.floor(y)
@@ -180,7 +183,8 @@ def bilinear_mxu(img, x, y, precision=jax.lax.Precision.HIGHEST):
     cols = jax.lax.broadcasted_iota(jnp.int32, (N, W), 1)
     Cw = (jnp.where(cols == xi[:, None], 1.0 - dx[:, None], 0.0)
           + jnp.where(cols == xi[:, None] + 1, dx[:, None], 0.0))
-    out = jnp.sum(M * Cw[:, :, None], axis=1)
+    out = jnp.sum(M * Cw[:, :, None], axis=1).astype(img.dtype)
+    out = out.reshape(coord_shape + (C,))
     return out[..., 0] if squeeze else out
 
 

@@ -2,6 +2,8 @@
 "8x8 tracker GN step").
 """
 
+import dataclasses
+
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -130,6 +132,24 @@ class TestTracking:
             ref, pyr1, jnp.eye(4, dtype=jnp.float32), jnp.zeros(2, jnp.float32),
             jnp.float32(1.0), min_abort, calib, CFG, calib.levels - 1)
         assert not bool(ok)
+
+    def test_packed_taps_bit_identical(self):
+        """tracker_packed_taps=True (one packed gather per warp) must be
+        bit-identical to the plain 4-tap formulation."""
+        calib, scene, ref = _setup()
+        xi = jnp.array([0.03, 0.01, -0.005, 0.004, 0.01, -0.002], jnp.float32)
+        img1, _ = scene.render(calib, lie.se3_exp(xi))
+        pyr1 = make_pyramid(img1, calib.levels)
+        min_abort = jnp.full((calib.levels,), 1e9, jnp.float32)
+        outs = {}
+        for packed in (True, False):
+            cfg = dataclasses.replace(CFG, tracker_packed_taps=packed)
+            outs[packed] = tracker.track_frame(
+                ref, pyr1, jnp.eye(4, dtype=jnp.float32),
+                jnp.zeros(2, jnp.float32), jnp.float32(1.0), min_abort,
+                calib, cfg, calib.levels - 1)
+        for a, b in zip(outs[True], outs[False]):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
     def test_hypothesis_batch(self):
         """vmapped multi-hypothesis tracking picks up the right motion."""
