@@ -173,47 +173,25 @@ class TestMultiHost:
         assert replay.initialize_multihost() is False
 
     @pytest.mark.slow
-    def test_two_process_cpu_dryrun(self, tmp_path):
+    def test_two_process_cpu_dryrun(self):
         """Two actual processes form a jax.distributed cluster on the CPU
-        backend and run the global-mesh replay step (DCN axis collective-
-        free, psum on the local axis only). Skips when the backend build
-        lacks cross-process CPU support."""
+        backend and run the REAL batched coarse-tracking program over the
+        (2, 4) global mesh, each process asserting its shards against the
+        single-device oracle and ground truth (tests/mh_slam_dryrun.py).
+        Skips when the backend build lacks cross-process CPU support."""
+        import os
         import subprocess
         import sys
 
-        script = tmp_path / "mh_dryrun.py"
-        script.write_text(
-            "import os, sys\n"
-            "os.environ['XLA_FLAGS'] = "
-            "'--xla_force_host_platform_device_count=4'\n"
-            "os.environ['JAX_PLATFORMS'] = 'cpu'\n"
-            "import jax\n"
-            "jax.config.update('jax_platforms', 'cpu')\n"
-            "import numpy as np\n"
-            "from ldso_tpu.parallel import replay\n"
-            "pid = int(sys.argv[1])\n"
-            "ok = replay.initialize_multihost('127.0.0.1:18733', 2, pid)\n"
-            "assert ok\n"
-            "assert jax.process_count() == 2\n"
-            "mesh = replay.global_replay_mesh()\n"
-            "assert mesh.devices.shape == (2, 4), mesh.devices.shape\n"
-            "x = np.ones((16, 8), np.float32)\n"
-            "sharding = jax.sharding.NamedSharding(\n"
-            "    mesh, jax.sharding.PartitionSpec(('seq', 'dp')))\n"
-            "xs = jax.make_array_from_process_local_data(sharding, "
-            "x[pid * 8:(pid + 1) * 8])\n"
-            "out = jax.jit(lambda a: a * 3.0)(xs)\n"
-            "for s in out.addressable_shards:\n"
-            "    assert np.allclose(np.asarray(s.data), 3.0)\n"
-            "print('MH_OK', pid)\n")
-        env = dict(**__import__("os").environ)
+        script = os.path.join(os.path.dirname(__file__), "mh_slam_dryrun.py")
+        env = dict(**os.environ)
         env["PYTHONPATH"] = "/root/repo:" + env.get("PYTHONPATH", "")
-        procs = [subprocess.Popen([sys.executable, str(script), str(p)],
+        procs = [subprocess.Popen([sys.executable, script, str(p), "18733"],
                                   stdout=subprocess.PIPE,
                                   stderr=subprocess.STDOUT, env=env)
                  for p in range(2)]
         try:
-            outs = [p.communicate(timeout=180)[0].decode() for p in procs]
+            outs = [p.communicate(timeout=420)[0].decode() for p in procs]
         except subprocess.TimeoutExpired:
             for p in procs:
                 p.kill()
@@ -225,7 +203,7 @@ class TestMultiHost:
                 pytest.skip(f"CPU backend lacks multi-process support: "
                             f"{joined[-300:]}")
             pytest.fail(joined[-2000:])
-        assert all("MH_OK" in o for o in outs)
+        assert all("MH_SLAM_OK" in o for o in outs)
 
 
 if __name__ == "__main__":
