@@ -26,7 +26,7 @@ import jax.numpy as jnp
 
 from ldso_tpu.config import Config, PATTERN
 from ldso_tpu.camera.calib import Calibration
-from ldso_tpu.ops.interp import bilinear
+from ldso_tpu.ops.interp import bilinear, bilinear_packed, pack_taps
 
 # status codes
 IPS_GOOD = 0
@@ -217,9 +217,24 @@ def trace(pool: ImmaturePool, dI_target: jax.Array, KRKi: jax.Array,
     # the rounding. The reference samples the search bilinearly
     # (ImmaturePoint.cc:182-205) — set trace_search_nearest=False for the
     # exact-semantics path.
+    # trace_packed: fetch all 8 pattern taps of a step with ONE gather from
+    # a pattern-packed image (ops/interp.pack_pattern) — 8x fewer indices
+    # on this, the hottest gather lattice of the whole per-frame path. The
+    # packed search samples the UNROTATED integer pattern (the rotated
+    # pattern rounds to the same integers except when a <2px offset lands
+    # within rotation-angle of a rounding boundary); the bilinear GN
+    # refinement below keeps the exact rotated pattern. Ablated in
+    # tools/ablate_ate.py (`trace_packed_off`).
+    packed3 = pack_taps(dI_target) if cfg.trace_packed else None
     if cfg.trace_search_nearest:
-        from ldso_tpu.ops.interp import nearest
-        hit = nearest(dI_target[..., 0], px, py)
+        if cfg.trace_packed:
+            from ldso_tpu.ops.interp import pack_pattern, \
+                nearest_packed_pattern
+            pimg = pack_pattern(dI_target[..., 0], PATTERN)
+            hit = nearest_packed_pattern(pimg, sx, sy)           # (N,S,8)
+        else:
+            from ldso_tpu.ops.interp import nearest
+            hit = nearest(dI_target[..., 0], px, py)
     else:
         hit = bilinear(dI_target[..., 0], px, py)
     res = hit - (aff[:, None, None, 0] * pool.color[:, None, :]
@@ -242,11 +257,44 @@ def trace(pool: ImmaturePool, dI_target: jax.Array, KRKi: jax.Array,
     new_q = second / jnp.maximum(best_energy, 1e-12)
     quality = jnp.where((new_q < pool.quality) | (n_steps > 10), new_q, pool.quality)
 
+    # Hybrid refine: the nearest-tap SSD surface's argmin can sit +-1-2
+    # steps off the bilinear surface's (each tap rounds by up to 0.5 px),
+    # and the GN below (step clip +-0.5 px, ImmaturePoint.cc:254) cannot
+    # always recover the offset — the ablated 8.4%-vs-5% ATE residue
+    # (BASELINE.md). Re-scoring just the +-K neighbourhood with the
+    # reference's bilinear energy (ImmaturePoint.cc:182-205) recovers the
+    # bilinear argmin at (2K+1)/n_steps of a full bilinear search.
+    if cfg.trace_search_nearest and cfg.trace_refine_steps > 0:
+        K = cfg.trace_refine_steps
+        offs = jnp.arange(-K, K + 1, dtype=jnp.float32)           # (2K+1,)
+        cand = best_idx[:, None].astype(jnp.float32) + offs[None, :]
+        cand_live = (cand >= 0) & (cand < n_steps[:, None].astype(jnp.float32))
+        cu = ptx0[:, None] + cand * dxn[:, None]
+        cv = pty0[:, None] + cand * dyn[:, None]
+        rpx = cu[:, :, None] + rot_patt[:, None, :, 0]            # (N,2K+1,8)
+        rpy = cv[:, :, None] + rot_patt[:, None, :, 1]
+        rhit = (bilinear_packed(packed3, rpx, rpy, 3)[..., 0]
+                if cfg.trace_packed
+                else bilinear(dI_target[..., 0], rpx, rpy))
+        rres = rhit - (aff[:, None, None, 0] * pool.color[:, None, :]
+                       + aff[:, None, None, 1])
+        rar = jnp.abs(rres)
+        rhw = jnp.where(rar < cfg.huber_th, 1.0,
+                        cfg.huber_th / jnp.maximum(rar, 1e-12))
+        re_pix = jnp.where(jnp.isfinite(rhit), rhw * rres * rres * (2.0 - rhw),
+                           1e5)
+        re_sum = jnp.where(cand_live, jnp.sum(re_pix, axis=-1), 1e10)
+        j = jnp.argmin(re_sum, axis=-1)
+        best_energy = jnp.min(re_sum, axis=-1)
+        best_u = jnp.take_along_axis(cu, j[:, None], axis=-1)[:, 0]
+        best_v = jnp.take_along_axis(cv, j[:, None], axis=-1)[:, 0]
+
     # GN refinement along the line (:223-275)
     def gn_energy_Hb(bu, bv):
         gx = bu[:, None] + rot_patt[:, :, 0]
         gy = bv[:, None] + rot_patt[:, :, 1]
-        hc = bilinear(dI_target, gx, gy)                            # (N,8,3)
+        hc = (bilinear_packed(packed3, gx, gy, 3) if cfg.trace_packed
+              else bilinear(dI_target, gx, gy))                     # (N,8,3)
         finite = jnp.isfinite(hc[..., 0])
         r = hc[..., 0] - (aff[:, None, 0] * pool.color + aff[:, None, 1])
         d = dxn[:, None] * hc[..., 1] + dyn[:, None] * hc[..., 2]
@@ -564,7 +612,9 @@ def linearize_depth_residual(u, v, color, weights, energy_th, idepth,
     Kv = vv * fy + cy
     inb = (drescale > 0) & (Ku > 1.1) & (Kv > 1.1) & (Ku < W - 3) & (Kv < H - 3)
 
-    hit = bilinear(dI_target, Ku, Kv)
+    # accepts the tap-packed (H,W,12) window stack (bit-identical gather)
+    hit = (bilinear_packed(dI_target, Ku, Kv, 3)
+           if dI_target.shape[-1] == 12 else bilinear(dI_target, Ku, Kv))
     finite = jnp.isfinite(hit[..., 0])
     pix_ok = inb & finite
     oob = ~jnp.all(pix_ok, axis=-1)

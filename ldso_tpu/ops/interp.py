@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def _gather_flat(img_flat, idx):
@@ -186,6 +187,53 @@ def bilinear_mxu(img, x, y, precision=jax.lax.Precision.HIGHEST):
     out = jnp.sum(M * Cw[:, :, None], axis=1).astype(img.dtype)
     out = out.reshape(coord_shape + (C,))
     return out[..., 0] if squeeze else out
+
+
+def pack_pattern(img, pattern):
+    """Pack a residual pattern into the channel axis: (H, W) + (P, 2) int
+    offsets -> (H, W, P) with out[y, x, p] = img[y + pattern[p,1],
+    x + pattern[p,0]] (edge-clamped).
+
+    One nearest row-gather of the packed image then fetches ALL P pattern
+    taps of a sample — P x fewer gather indices than per-tap gathers, the
+    same index-count trick as `pack_taps`. Built with P dense rolls, so
+    the build cost is bandwidth (~P x image bytes), not gathers.
+    """
+    H, W = img.shape
+    chans = []
+    for dx, dy in np.asarray(pattern):
+        s = img
+        dy, dx = int(dy), int(dx)
+        if dy:
+            s = (jnp.concatenate([s[dy:], jnp.repeat(s[-1:], dy, 0)], 0)
+                 if dy > 0 else
+                 jnp.concatenate([jnp.repeat(s[:1], -dy, 0), s[:dy]], 0))
+        if dx:
+            s = (jnp.concatenate([s[:, dx:], jnp.repeat(s[:, -1:], dx, 1)], 1)
+                 if dx > 0 else
+                 jnp.concatenate([jnp.repeat(s[:, :1], -dx, 1), s[:, :dx]], 1))
+        chans.append(s)
+    return jnp.stack(chans, axis=-1)
+
+
+def nearest_packed_pattern(packed, x, y):
+    """Nearest-tap sample of all P pattern pixels around each (x, y) with
+    ONE gather: packed = pack_pattern(img, pattern), x/y: (...).
+    Returns (..., P) = img[round(y) + pat_y, round(x) + pat_x].
+
+    Exactly equals per-tap `nearest(img, x + px, y + py)` for INTEGER
+    pattern offsets (round(x + k) == round(x) + k for integer k), up to
+    border clamping (packed clamps per-tap at the edge; callers mask
+    borders anyway, like every trace caller does)."""
+    if jax.default_backend() == "tpu":
+        x, y = jax.lax.optimization_barrier((x, y))
+    H, W, P = packed.shape
+    xi = jnp.clip(jnp.round(x), 0, W - 1).astype(jnp.int32)
+    yi = jnp.clip(jnp.round(y), 0, H - 1).astype(jnp.int32)
+    out = jnp.take(packed.reshape(H * W, P), yi * W + xi, axis=0)
+    if jax.default_backend() == "tpu":
+        out = jax.lax.optimization_barrier(out)
+    return out
 
 
 def nearest(img, x, y):

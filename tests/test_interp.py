@@ -84,6 +84,26 @@ def test_mxu_matches_bilinear():
                                np.asarray(out), rtol=2e-6, atol=2e-6)
 
 
+def test_pattern_packed_matches_per_tap_nearest():
+    """nearest_packed_pattern == per-tap nearest for the integer residual
+    pattern (round(x + k) == round(x) + k for integer k), away from the
+    border where the packed image edge-clamps per tap."""
+    from ldso_tpu.config import PATTERN
+    from ldso_tpu.ops.interp import nearest, nearest_packed_pattern, \
+        pack_pattern
+
+    rng = np.random.default_rng(5)
+    img = jnp.asarray(rng.normal(size=(33, 47)).astype(np.float32))
+    x = jnp.asarray(rng.uniform(3, 43, 129).astype(np.float32))
+    y = jnp.asarray(rng.uniform(3, 29, 129).astype(np.float32))
+    packed = pack_pattern(img, PATTERN)
+    assert packed.shape == (33, 47, 8)
+    out = nearest_packed_pattern(packed, x, y)
+    for p, (dx, dy) in enumerate(np.asarray(PATTERN)):
+        ref = nearest(img, x + float(dx), y + float(dy))
+        np.testing.assert_array_equal(np.asarray(ref), np.asarray(out)[:, p])
+
+
 def test_packed_under_jit_and_grad_free_path():
     # the hot paths run under jit; make sure tracing the packed gather is
     # fine. Under jit XLA may contract the tap-combine into FMAs with a

@@ -110,12 +110,25 @@ def main():
     from ldso_tpu.config import Config
     # mode=1 semantics (no photometric calib files), matching the CLI run
     # that produced the head-to-head 0.179 mm (tools/head_to_head.py run_ours)
+    # full mode=1 semantics incl. zeroed affine priors
+    # (run_dso_tum_mono.cc:258-266), matching examples/run_common.py
     base = dataclasses.replace(Config(), enable_loop_closing=False,
-                               photometric_calibration=0)
+                               photometric_calibration=0,
+                               affine_opt_mode_a=0.0, affine_opt_mode_b=0.0)
     variants = {
         "default": base,
         "nearest_trace_off": dataclasses.replace(
             base, trace_search_nearest=False),
+        # round-3 default: nearest search WITHOUT the bilinear +-2-step
+        # re-score (isolates trace_refine_steps' contribution)
+        "no_refine": dataclasses.replace(base, trace_refine_steps=0),
+        # exact per-tap gathers instead of the pattern-packed search
+        # (isolates the unrotated-pattern approximation of trace_packed)
+        "trace_packed_off": dataclasses.replace(base, trace_packed=False),
+        # upstream-DSO keyframe-affine semantics (vs the LDSO
+        # FullSystem.cc:133 frame-affine-is-zero quirk, now the default)
+        "dso_kf_affine": dataclasses.replace(base,
+                                             kf_affine_frame_zero=False),
         "host_f64_ba": dataclasses.replace(base, ba_device_lm=False),
         "dist_map_40": dataclasses.replace(base, dist_map_steps=40),
     }
