@@ -39,6 +39,7 @@ from ldso_tpu.backend.window import (FRAME_SCALE, RES_IN, RES_OOB,
                                      aff_g2l_zero, c_scaled, current_poses)
 from ldso_tpu.frontend import affine
 from ldso_tpu.math import lie
+from ldso_tpu.ops.interp import bilinear_packed_frames
 
 
 # ---------------------------------------------------------------------------
@@ -220,15 +221,21 @@ def linearize_all(W: Window, dIs: jax.Array, cfg: Config,
     patt_ok = (Ku > 1.1) & (Kv > 1.1) & (Ku < wM3) & (Kv < hM3)
 
     tgt = jax.lax.broadcasted_iota(jnp.int32, (P, F, 8), 1)
+    # tap-packed frame stack (F,H,W,12; full_system stores the window's
+    # images pre-packed per ops/interp.pack_taps): ONE gather per sample
+    # instead of four — bit-identical, 4x fewer indices on this lattice
+    packed = dIs.shape[-1] == 12
     if jax.default_backend() == "tpu":
         # fence the gather: without the barriers XLA fuses the projection
         # math (and consumers) into the serialized per-index gather loop,
         # turning a ~5 ms op into ~150 ms of scalar code
         Ku, Kv = jax.lax.optimization_barrier((Ku, Kv))
-        hit = _bilinear_frames(dIs, tgt, Ku, Kv)              # (P,F,8,3)
+        hit = (bilinear_packed_frames(dIs, tgt, Ku, Kv, 3) if packed
+               else _bilinear_frames(dIs, tgt, Ku, Kv))       # (P,F,8,3)
         hit = jax.lax.optimization_barrier(hit)
     else:
-        hit = _bilinear_frames(dIs, tgt, Ku, Kv)              # (P,F,8,3)
+        hit = (bilinear_packed_frames(dIs, tgt, Ku, Kv, 3) if packed
+               else _bilinear_frames(dIs, tgt, Ku, Kv))       # (P,F,8,3)
     finite = jnp.isfinite(hit[..., 0])
     oob = prev_oob | ~center_ok | ~jnp.all(patt_ok & finite, axis=-1)
 

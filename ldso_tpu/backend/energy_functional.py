@@ -94,6 +94,11 @@ def _insert_keyframe_dev(W: Window, dIs, i, T_cw, st, prior, exposure,
             jnp.where(mask, RES_IN, W.res_state[:, i])),
         res_energy=W.res_energy.at[:, i].set(0.0),
     )
+    if dIs.shape[-1] == 4 * dI0.shape[-1]:
+        # the window stack is stored tap-packed (ops/interp.pack_taps):
+        # pack the incoming level-0 image once here, at keyframe insertion
+        from ldso_tpu.ops.interp import pack_taps
+        dI0 = pack_taps(dI0)
     return W, dIs.at[i].set(dI0)
 
 

@@ -90,6 +90,16 @@ class Config:
     max_shift_weight_r: float = 0.0 * (640 + 480)
     max_shift_weight_rt: float = 0.02 * (640 + 480)
     max_affine_weight: float = 2.0
+    # LDSO's keyframe criterion reads the NEW frame's affine from the
+    # FrameHessian accessor (FullSystem.cc:133 `fh->aff_g2l()`), whose
+    # state is only set later in make[Non]KeyFrame (setEvalPT_scaled,
+    # FullSystem.cc:417/596) — so the new frame's affine is (0,0) at
+    # decision time and rel_a = exp(-a_ref)·(t_new/t_ref) tracks the
+    # ABSOLUTE brightness drift of the reference KF. Upstream DSO uses the
+    # tracked `fh->shell->aff_g2l` instead. True (default) reproduces the
+    # LDSO cadence (root cause of the 106-vs-29 KF split on the revisit
+    # head-to-head, BASELINE.md); False restores DSO's semantics.
+    kf_affine_frame_zero: bool = True
 
     # --- optimization -------------------------------------------------------
     max_opt_iterations: int = 6                # (Setting.cc:36)
@@ -100,6 +110,10 @@ class Config:
     force_accept_step: bool = True             # (Setting.cc:77)
     relin_always: bool = True                  # (Setting.cc:73)
     fix_calib: bool = False
+    # store the window's level-0 image stack tap-packed (F,H,W,12) so the
+    # BA-linearization and activation lattices fetch each bilinear sample
+    # with ONE gather index (bit-identical; 4x fewer indices, 4x HBM)
+    ba_packed_taps: bool = True
     # run the whole windowed-BA LM loop as one device program
     # (backend/ba_device.py, f32 solve). False = host-orchestrated loop with
     # the f64 HM/bM + f64 scaled-LDLT solve (EnergyFunctional.cc:324-337
@@ -144,6 +158,11 @@ class Config:
     # bilinear argmin at a fraction of a full bilinear search. 0 = off.
     trace_refine_steps: int = 2
     trace_gn_iterations: int = 3
+    # one-gather-per-step pattern-packed search + packed-tap GN/refine
+    # (ops/interp.pack_pattern / pack_taps): 8x / 4x fewer gather indices
+    # on the trace lattices. GN/refine stay bit-identical; the packed
+    # search samples the unrotated integer pattern (see frontend/immature).
+    trace_packed: bool = True
     trace_gn_threshold: float = 0.1
     trace_extra_slack_on_th: float = 1.2
     trace_slack_interval: float = 1.5

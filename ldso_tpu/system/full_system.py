@@ -44,11 +44,11 @@ from ldso_tpu.utils.timing import StageTimer
 from ldso_tpu.slam_map import FrameShell, GlobalMap, MapPointRecord
 
 
-@functools.partial(jax.jit, static_argnames=("calib", "cfg", "coarsest",
-                                             "n_trace"))
+@functools.partial(jax.jit, static_argnames=("enable_trace", "calib", "cfg",
+                                             "coarsest", "n_trace"))
 def _frame_step(image, arena, ref, T0, aff0, exposure, last_rmse,
                 T_ref_cw, T_hosts, host_affs, host_expos, b_grad,
-                enable_trace, calib, cfg: Config, coarsest: int,
+                enable_trace: bool, calib, cfg: Config, coarsest: int,
                 n_trace: int = 1 << 30):
     """The per-frame hot path as ONE device program: pyramid + coarse
     tracking (hypothesis 0) + epipolar trace of the candidate arena against
@@ -81,18 +81,45 @@ def _frame_step(image, arena, ref, T0, aff0, exposure, last_rmse,
     ra = jnp.exp(aff[0] - host_affs[:, 0]) * exposure / host_expos
     affs = jnp.stack([ra, aff[1] - ra * host_affs[:, 1]], axis=-1)
 
-    do_trace = accept & enable_trace
+    # enable_trace is STATIC: the chain-tracking program (mapping thread
+    # traces on its own) compiles with NO trace at all — this backend
+    # executes BOTH lax.cond branches (BASELINE.md "measured dead ends"),
+    # so a traced flag would pay the full trace lattice every frame
     n_trace = min(n_trace, arena.host.shape[0])
-    arena_out = jax.lax.cond(
-        do_trace,
-        lambda a: immature.trace_arena_prefix(a, pyr.dI[0], KRKis, Kts,
-                                              affs, calib, cfg, n_trace),
-        lambda a: a, arena)
+    if enable_trace:
+        do_trace = accept
+        arena_out = jax.lax.cond(
+            do_trace,
+            lambda a: immature.trace_arena_prefix(a, pyr.dI[0], KRKis, Kts,
+                                                  affs, calib, cfg, n_trace),
+            lambda a: a, arena)
+    else:
+        do_trace = jnp.asarray(False)
+        arena_out = arena
 
     packed = jnp.concatenate([
         T.reshape(-1), aff, ok.astype(jnp.float32)[None],
         do_trace.astype(jnp.float32)[None], res, flow])
     return arena_out, pyr, packed
+
+
+@functools.partial(jax.jit, static_argnames=("calib", "cfg", "coarsest"))
+def _frame_step_chain(image, ref, T0, aff0, exposure, last_rmse, b_grad,
+                      calib, cfg: Config, coarsest: int):
+    """The chain-tracking frame program: pyramid + coarse tracking only
+    (no trace — the mapping thread owns the candidate arena). A slim
+    signature: the full _frame_step marshals the arena + host pose tables
+    (~40 pytree leaves) on every dispatch even though the chain path never
+    consumes them."""
+    from ldso_tpu.ops.preprocess import make_pyramid
+    pyr = make_pyramid(image, calib.levels, b_grad)
+    no_abort = jnp.full((calib.levels,), 1e9, jnp.float32)
+    T, aff, ok, res, flow = tracker.track_frame(
+        ref, pyr, T0, aff0, exposure, no_abort, calib, cfg, coarsest)
+    packed = jnp.concatenate([
+        T.reshape(-1), aff, ok.astype(jnp.float32)[None],
+        jnp.zeros((1,), jnp.float32), res, flow])
+    return pyr, packed
 
 
 @jax.jit
@@ -103,6 +130,9 @@ def _marg_shift_dev(arena, dIs, i, perm):
 
 @jax.jit
 def _set_dI(dIs, slot, dI0):
+    if dIs.shape[-1] == 4 * dI0.shape[-1]:      # tap-packed window stack
+        from ldso_tpu.ops.interp import pack_taps
+        dI0 = pack_taps(dI0)
     return dIs.at[slot].set(dI0)
 
 
@@ -474,13 +504,21 @@ class FullSystem:
         # arena_counts pull at the end of each keyframe
         self._trace_lanes = self.imm_arena.host.shape[0]
         self.imm_live: List[bool] = []
-        # persistent (F, H, W, 3) level-0 gradient-image buffer on device
-        self.dIs = jnp.zeros((self.ef.F, calib.h[0], calib.w[0], 3),
+        # persistent level-0 gradient-image buffer on device; stored
+        # tap-packed (F, H, W, 12; ops/interp.pack_taps) so the BA and
+        # activation lattices gather each bilinear sample with ONE index
+        chans = 12 if cfg.ba_packed_taps else 3
+        self.dIs = jnp.zeros((self.ef.F, calib.h[0], calib.w[0], chans),
                              jnp.float32)
 
         # live viewer hooks (FullSystem::setViewer, outputWrapper publishes;
         # viz_live.LiveViewer is the Pangolin-GUI equivalent)
         self.viewer = None
+
+        # optional per-frame keyframe-criterion trace: set to a list to
+        # record the score terms of every _keyframe_decision (cadence
+        # parity debugging, tools/kf_cadence.py)
+        self.kf_score_log = None
 
         self.tracker_ref: Optional[tracker.TrackerRef] = None
         self.tracker_ref_shell: Optional[FrameShell] = None
@@ -657,17 +695,10 @@ class FullSystem:
         ref, ref_shell = self._tracker_ref_pair
         T_ref = jnp.asarray(ref_shell.T_cw, jnp.float32)
         T0, aff0, rmse = _chain_prep(self.track_chain, T_ref)
-        F = self.ef.F
-        dummies = getattr(self, "_chain_dummies", None)
-        if dummies is None:
-            dummies = (jnp.asarray(np.tile(np.eye(4), (F, 1, 1)), jnp.float32),
-                       jnp.zeros((F, 2), jnp.float32),
-                       jnp.ones((F,), jnp.float32))
-            self._chain_dummies = dummies
-        _, pyr, packed = _frame_step(
-            upload_image(image), self.imm_arena, ref, T0, aff0,
-            jnp.float32(shell.exposure), rmse, T_ref, *dummies,
-            self.b_grad, jnp.asarray(False), calib, cfg, calib.levels - 1)
+        pyr, packed = _frame_step_chain(
+            upload_image(image), ref, T0, aff0,
+            jnp.float32(shell.exposure), rmse, self.b_grad,
+            calib, cfg, calib.levels - 1)
         self.track_chain = _chain_update(self.track_chain, packed, T0, T_ref)
         packed.copy_to_host_async()
         return pyr, packed, ref_shell
@@ -767,7 +798,7 @@ class FullSystem:
             jnp.asarray(T_hosts, jnp.float32),
             jnp.asarray(host_affs, jnp.float32),
             jnp.asarray(host_expos, jnp.float32),
-            self.b_grad, jnp.asarray(commit_trace), calib, cfg, coarsest,
+            self.b_grad, bool(commit_trace), calib, cfg, coarsest,
             n_trace=self._trace_lanes)
         packed_dev.copy_to_host_async()   # overlap the pull with host work
         self._frame_pyr = pyr
@@ -865,7 +896,10 @@ class FullSystem:
                     or (shell.timestamp - last_kf.timestamp)
                     > 0.95 / cfg.keyframes_per_second)
         ef_, et_ = ref.exposure or 1.0, shell.exposure or 1.0
-        rel_a = float(np.exp(shell.aff[0] - ref.aff[0]) * et_ / ef_)
+        # kf_affine_frame_zero: LDSO evaluates the new frame's affine as 0
+        # here (FullSystem.cc:133 quirk — see Config); False = DSO semantics
+        a_new = 0.0 if cfg.kf_affine_frame_zero else shell.aff[0]
+        rel_a = float(np.exp(a_new - ref.aff[0]) * et_ / ef_)
         wh = calib.w[0] + calib.h[0]
         f = self._last_flow
         b = (cfg.kf_global_weight * cfg.max_shift_weight_t * np.sqrt(max(f[0], 0)) / wh
@@ -873,7 +907,16 @@ class FullSystem:
              + cfg.kf_global_weight * cfg.max_shift_weight_rt * np.sqrt(max(f[2], 0)) / wh
              + cfg.kf_global_weight * cfg.max_affine_weight * abs(np.log(rel_a)))
         b2 = 2.0 * self.first_coarse_rmse < self._last_rmse
-        return len(self.all_frames) == 1 or b > 1 or b2
+        need = len(self.all_frames) == 1 or b > 1 or b2
+        if self.kf_score_log is not None:
+            # per-term score trace for cadence parity vs the reference
+            # (tools/kf_cadence.py); terms mirror FullSystem.cc:138-147
+            self.kf_score_log.append(dict(
+                id=shell.id, ref_id=ref.id, flowT=float(f[0]),
+                flowRT=float(f[2]), rel_a=rel_a,
+                aff=[float(shell.aff[0]), float(shell.aff[1])],
+                score=float(b), rmse_gate=bool(b2), kf=bool(need)))
+        return need
 
     def _refresh_trace_lanes(self):
         """Update the trace lane bucket from the arena_counts transfer

@@ -75,6 +75,26 @@ def _build_ef(n_frames=3, n_pts=64, pose_noise=0.0, idepth_noise=0.0,
 
 
 class TestLinearize:
+    def test_packed_stack_bit_identical(self):
+        """linearize_all on the tap-packed (F,H,W,12) window stack must
+        reproduce the plain (F,H,W,3) results exactly (the production
+        full_system stores the stack packed; ops/interp.pack_taps)."""
+        from ldso_tpu.ops.interp import pack_taps
+        from ldso_tpu.backend.energy_functional import _reset_oob
+        ef, dIs, poses, idep0, calib, (w, h) = _build_ef(
+            pose_noise=2e-3, idepth_noise=0.05)
+        W0 = _reset_oob(ef.W)
+        import jax.numpy as jnp
+        packed = jnp.stack([pack_taps(dIs[f]) for f in range(dIs.shape[0])])
+        W_a, e_a = ba.linearize_all(W0, dIs, CFG, w, h)
+        W_b, e_b = ba.linearize_all(W0, packed, CFG, w, h)
+        np.testing.assert_array_equal(np.asarray(e_a), np.asarray(e_b))
+        for name in ("res_new_energy", "res_new_state", "Jpdd", "JIdx",
+                     "JabF", "resF"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(W_a, name)),
+                np.asarray(getattr(W_b, name)), err_msg=name)
+
     def test_zero_residual_at_ground_truth(self):
         ef, dIs, poses, idep0, calib, (w, h) = _build_ef()
         from ldso_tpu.backend.energy_functional import _reset_oob
