@@ -170,12 +170,20 @@ def _main(result, errors):
         except Exception as e:  # noqa: BLE001 — best-effort warmup only
             errors.append(f"precompile failed: {type(e).__name__}")
 
+    # determinism mode: the lookahead driver overlaps each frame's ~30 ms
+    # result round-trip with the next frames' dispatches while keeping
+    # every decision data-driven (DeterministicPipeline; the strict
+    # per-frame loop is the linearizeOperation semantics both implement)
+    from ldso_tpu.system.pipeline import DeterministicPipeline
+    spipe = DeterministicPipeline(fs, depth=3)
     sync_windows = []
     w = n_meas // 3
     for k in range(3):
         lo, hi = n_warm + k * w, n_warm + (k + 1) * w
         t0 = time.time()
-        _drive(fs, images[lo:hi], range(lo, hi), errors, f"sync{k}")
+        _drive(spipe, images[lo:hi], range(lo, hi), errors, f"sync{k}")
+        _retry(spipe.block_until_mapping_is_finished,
+               label=f"sync{k}:drain", errors=errors)
         sync_windows.append(w / max(time.time() - t0, 1e-9))
         result["sync_fps_windows"] = [round(x, 2) for x in sync_windows]
         if fs.is_lost:
@@ -249,6 +257,16 @@ def _main(result, errors):
     if fails:
         result["trace_lane_transfer_failures"] = fails
 
+    # ---- device utilization per hot program (VERDICT r3 #5): FLOPs and
+    # bytes from XLA's own cost model (compiled.cost_analysis()) divided by
+    # honestly-measured device time (chained-dependency slope; see
+    # tools/profile_hot.chain_time — block_until_ready does NOT block over
+    # the relay, so per-rep timing would measure dispatch, not compute) ----
+    try:
+        result["util"] = _bench_utilization(fs, calib, cfg)
+    except Exception as e:  # noqa: BLE001 — observability must not kill fps
+        errors.append(f"util section failed: {type(e).__name__}")
+
     # ---- aggregate multi-sequence VO: S complete pipelines share the chip,
     # dispatches interleave while each host thread waits on its own RPCs
     # (the single-chip analogue of BASELINE config[4]'s per-core replay) ----
@@ -284,6 +302,136 @@ def _main(result, errors):
         result["value"] = round(fps, 2)
         result["vs_baseline"] = round(fps / baseline_fps, 3)
     return 0
+
+
+def _chain_slope(step, carry0, pull, n1=3, n2=23, reps=5):
+    """Per-step device time (ms): time a data-dependent chain of n calls
+    ending in a REAL host pull, at two lengths; the slope cancels the
+    ~30 ms round-trip and its tunnel noise."""
+    import time as _time
+
+    def run(n):
+        c = carry0
+        t0 = _time.perf_counter()
+        for _ in range(n):
+            c = step(c)
+        pull(c)
+        return _time.perf_counter() - t0
+
+    run(2)
+    s = []
+    for _ in range(reps):
+        s.append((run(n2) - run(n1)) / (n2 - n1))
+    return float(np.median(s)) * 1e3
+
+
+# TPU v5e (v5 lite) single-chip peaks: 197 TFLOP/s bf16 MXU, 819 GB/s HBM
+_V5E_PEAK_FLOPS = 197e12
+_V5E_HBM_BPS = 819e9
+
+
+def _bench_utilization(fs, calib, cfg):
+    """Per-hot-program {device ms, GFLOP, %MXU peak, GB/s, %HBM peak}.
+
+    Replaces the reference's per-stage wall-clock log
+    (run_dso_tum_mono.cc:428-460) with roofline accounting: XLA
+    cost_analysis FLOPs/bytes over measured device time says whether each
+    program is compute- or bandwidth- or latency-bound."""
+    import jax
+    import jax.numpy as jnp
+    from ldso_tpu.ops.preprocess import make_pyramid, upload_image
+    from ldso_tpu.system import full_system as fsm
+    from ldso_tpu.frontend import immature
+
+    out = {}
+    fs.chain_reset()
+    ref, ref_shell = fs._tracker_ref_pair
+    if ref is None:
+        ref, ref_shell = fs.tracker_ref, fs.tracker_ref_shell
+    T_ref = jnp.asarray(ref_shell.T_cw, jnp.float32)
+    img_dev = upload_image(_quant8(np.zeros((calib.h[0], calib.w[0]))))
+    F = fs.ef.F
+    dummies = (jnp.asarray(np.tile(np.eye(4), (F, 1, 1)), jnp.float32),
+               jnp.zeros((F, 2), jnp.float32), jnp.ones((F,), jnp.float32))
+    fs._refresh_trace_lanes()
+    n_tr = fs._trace_lanes
+
+    def costs(jitted, *args, **kw):
+        c = jitted.lower(*args, **kw).compile().cost_analysis()
+        c = c[0] if isinstance(c, list) else c
+        return float(c.get("flops", 0.0)), float(c.get("bytes accessed", 0.0))
+
+    def record(name, t_ms, flops, bts):
+        out[name] = dict(
+            ms=round(t_ms, 2), gflop=round(flops / 1e9, 2),
+            mxu_pct=round(100.0 * flops / (t_ms * 1e-3) / _V5E_PEAK_FLOPS, 2),
+            gbps=round(bts / (t_ms * 1e-3) / 1e9, 1),
+            hbm_pct=round(100.0 * (bts / (t_ms * 1e-3)) / _V5E_HBM_BPS, 1))
+
+    # 1. the production per-frame chain program (pyramid + tracking LM)
+    def frame_step(c):
+        T0, aff0, rmse = fsm._chain_prep(c, T_ref)
+        _, _, packed = fsm._frame_step(
+            img_dev, fs.imm_arena, ref, T0, aff0, jnp.float32(1.0), rmse,
+            T_ref, *dummies, fs.b_grad, False, calib, cfg,
+            calib.levels - 1, n_trace=n_tr)
+        return fsm._chain_update(c, packed, T0, T_ref)
+
+    t = _chain_slope(frame_step, fs.track_chain,
+                     lambda c: np.asarray(c.T_slast))
+    T0, aff0, rmse = fsm._chain_prep(fs.track_chain, T_ref)
+    fl, bt = costs(fsm._frame_step, img_dev, fs.imm_arena, ref, T0, aff0,
+                   jnp.float32(1.0), rmse, T_ref, *dummies, fs.b_grad,
+                   enable_trace=False, calib=calib, cfg=cfg,
+                   coarsest=calib.levels - 1, n_trace=n_tr)
+    record("frame_step(track)", t, fl, bt)
+
+    # 2. the epipolar trace at the production lane bucket
+    pyr_t = make_pyramid(img_dev, calib.levels, fs.b_grad)
+    KRKis = jnp.asarray(np.tile(np.eye(3), (F, 1, 1)), jnp.float32)
+    Kts = jnp.asarray(np.tile([0.02, 0.0, 0.001], (F, 1)), jnp.float32)
+    affs = jnp.asarray(np.tile([1.0, 0.0], (F, 1)), jnp.float32)
+
+    def trace_step(c):
+        return (immature.trace_arena_sized(c[0], pyr_t.dI[0], KRKis, Kts,
+                                           affs, calib, cfg, n_tr),)
+
+    t = _chain_slope(trace_step, (fs.imm_arena,),
+                     lambda c: np.asarray(c[0].pool.u[:1]))
+    fl, bt = costs(immature.trace_arena_sized, fs.imm_arena, pyr_t.dI[0],
+                   KRKis, Kts, affs, calib=calib, cfg=cfg, n=n_tr)
+    record(f"trace({n_tr} lanes)", t, fl, bt)
+
+    # 3. the whole windowed-BA LM device program
+    from ldso_tpu.backend import ba_device
+    from ldso_tpu.config import CPARS
+    dIs = fs._dIs_stack()
+    nf = len(fs.window_frames)
+    n_full = CPARS + 8 * F
+    HMp = np.zeros((n_full, n_full), np.float32)
+    bMp = np.zeros(n_full, np.float32)
+    n = CPARS + 8 * nf
+    HMp[:n, :n] = fs.ef.HM
+    bMp[:n] = fs.ef.bM
+    HMj, bMj = jnp.asarray(HMp), jnp.asarray(bMp)
+
+    def ba_step(c):
+        W, _ = ba_device.optimize_device(c[0], dIs, HMj, bMj,
+                                         jnp.int32(nf - 1), cfg,
+                                         calib.w[0], calib.h[0],
+                                         cfg.max_opt_iterations)
+        return (W,)
+
+    t = _chain_slope(ba_step, (fs.ef.W,),
+                     lambda c: np.asarray(c[0].state[:1]), n1=2, n2=12)
+    try:
+        fl, bt = costs(ba_device.optimize_device, fs.ef.W, dIs, HMj, bMj,
+                       jnp.int32(nf - 1), cfg=cfg, img_w=calib.w[0],
+                       img_h=calib.h[0], max_iterations=cfg.max_opt_iterations)
+        record("ba_lm", t, fl, bt)
+    except Exception:  # noqa: BLE001 — keep the timing even without flops
+        out["ba_lm"] = dict(ms=round(t, 2))
+    return out
 
 
 def _bench_multi_sequence_vo(cfg, calib, scene, S: int = 8,
@@ -405,11 +553,15 @@ def _bench_batched_tracking(B: int = 16, n_iters: int = 30) -> float:
         lambda r, p, T, a, e, m: tracker.track_frame(
             r, p, T, a, e, m, calib, cfg, coarsest)))
     out = step(refs, pyrs, T0, aff0, expo, min_abort)
-    jax.block_until_ready(out)
+    np.asarray(out[0])  # block_until_ready does NOT block over the relay
     t0 = _time.time()
     for _ in range(n_iters):
         out = step(refs, pyrs, out[0], aff0, expo, min_abort)
-    jax.block_until_ready(out)
+    # a real host pull forces the whole dependent chain to finish; the
+    # r1-r3 numbers used block_until_ready here, which returns before
+    # execution completes over the axon relay and therefore measured
+    # dispatch, not compute (methodology fix, round 4 — see BASELINE.md)
+    np.asarray(out[0])
     return B * n_iters / (_time.time() - t0)
 
 

@@ -35,6 +35,111 @@ from typing import Optional
 from ldso_tpu.system.full_system import FullSystem
 
 
+class DeterministicPipeline:
+    """Speculative lookahead driver for the SYNCHRONOUS (determinism) mode.
+
+    The strict sync loop (FullSystem.add_active_frame per frame) pays one
+    ~30 ms tunnel round-trip per frame: the keyframe decision needs the
+    tracked pose before the next frame may be dispatched. But the decision
+    is only *consumed* at keyframes (~1 in 5 frames): this driver
+    speculatively dispatches up to `depth` frames against the current
+    tracking reference (device-resident TrackChain — the same machinery as
+    AsyncPipeline), consumes results strictly in order, and on discovering
+    a keyframe re-dispatches the still-in-flight frames against the new
+    reference. Every decision is data-driven (no queue-timing dependence),
+    so two runs over the same frames produce identical trajectories —
+    unlike AsyncPipeline, whose keyframe policy depends on mapping-thread
+    timing (the reference's own async mode, FullSystem.cc:1825-1864).
+    Mapping (keyframe creation, BA) runs INLINE at consume time, exactly
+    like the reference's linearizeOperation mode (FullSystem.cc:160-167).
+    """
+
+    def __init__(self, fs: FullSystem, depth: int = 3):
+        self.fs = fs
+        self.depth = depth
+        self.pending = collections.deque()   # (shell, image, pyr, packed, ref_shell)
+        self._slast = None
+        self._sprelast = None
+
+    def add_active_frame(self, image, frame_id, exposure=1.0, timestamp=0.0):
+        fs = self.fs
+        if fs.is_lost:
+            return None
+        if not fs.initialized or fs.tracker_ref is None:
+            self._drain_all()
+            return fs.add_active_frame(image, frame_id, exposure, timestamp)
+        from ldso_tpu.slam_map import FrameShell
+        if not self.pending:
+            fs.chain_reset()
+        shell = FrameShell(id=frame_id, timestamp=timestamp,
+                           exposure=exposure)
+        shell.pose_valid = False            # until consumed, in order
+        fs.all_frames.append(shell)
+        pyr, packed, ref_shell = fs.track_chain_dispatch(shell, image)
+        self.pending.append((shell, image, pyr, packed, ref_shell))
+        # consume on a FIXED cadence (exactly one once the window is full),
+        # never opportunistically by transfer readiness: which frames get
+        # device-continued vs host-reset chain state must be a pure
+        # function of the data, or two runs diverge at f32 rounding level
+        while len(self.pending) > self.depth and not fs.is_lost:
+            self._consume_one()
+        return shell
+
+    def block_until_mapping_is_finished(self):
+        self._drain_all()
+        fs = self.fs
+        if fs.loop_closing is not None and fs.global_map.num_frames() > 4:
+            from ldso_tpu.loop import posegraph
+            posegraph.run_pose_graph(fs.global_map)
+
+    def _drain_all(self):
+        while self.pending and not self.fs.is_lost:
+            self._consume_one()
+
+    def _redispatch_inflight(self):
+        """The tracking reference (or chain state) changed: re-dispatch
+        every still-pending frame against it, in order."""
+        fs = self.fs
+        old = list(self.pending)
+        self.pending.clear()
+        fs.chain_reset()
+        for shell, image, _, _, _ in old:
+            pyr, packed, ref_shell = fs.track_chain_dispatch(shell, image)
+            self.pending.append((shell, image, pyr, packed, ref_shell))
+
+    def _consume_one(self):
+        fs = self.fs
+        if self.pending:
+            shell, image, pyr, packed, ref_shell = self.pending.popleft()
+            if fs.track_chain_consume(shell, packed, ref_shell):
+                shell.pose_valid = True
+            else:
+                # gate tripped: host retry sweep against the current ref
+                ok = fs._track_new_coarse(
+                    shell, image, commit_trace=False,
+                    neighbors=(self._slast, self._sprelast))
+                shell.pose_valid = bool(ok)
+                if not ok:
+                    fs.is_lost = True
+                    for sh, *_ in self.pending:
+                        sh.pose_valid = False
+                    return
+                ref_shell = fs._last_track_ref
+                pyr = fs._frame_pyr
+                if self.pending:        # chain continued from a bad pose
+                    self._redispatch_inflight()
+            self._sprelast, self._slast = self._slast, shell
+            need_kf = fs._keyframe_decision(shell, ref=ref_shell)
+            if need_kf:
+                fs.make_keyframe(shell, pyr)
+                if fs.is_lost:
+                    return
+                if self.pending:        # new tracking reference
+                    self._redispatch_inflight()
+            else:
+                fs.make_non_keyframe(shell, pyr)
+
+
 class AsyncPipeline:
     """Wraps a FullSystem with the reference's mapping-thread handoff."""
 

@@ -90,6 +90,65 @@ if __name__ == "__main__":
     pytest.main([__file__, "-q", "-x"])
 
 
+@pytest.mark.slow
+class TestDeterministicPipeline:
+    def _run(self, scene, calib, cfg, poses, images):
+        from ldso_tpu.system.pipeline import DeterministicPipeline
+        fs = FullSystem(calib, cfg)
+        pipe = DeterministicPipeline(fs, depth=3)
+        for i in range(len(images)):
+            pipe.add_active_frame(images[i], i, 1.0, i * 0.05)
+            if fs.is_lost:
+                break
+        pipe.block_until_mapping_is_finished()
+        kf_ids = [k.id for k in fs.global_map.get_all_kfs()]
+        traj = {f.id: f.T_cw.copy() for f in fs.all_frames if f.pose_valid}
+        return kf_ids, traj, fs
+
+    def test_deterministic_and_matches_sync_quality(self):
+        """Two lookahead runs are IDENTICAL (the determinism contract of
+        linearizeOperation mode), and the trajectory matches the strict
+        per-frame sync loop's quality."""
+        cfg = Config(max_points=512, max_immature=512,
+                     tracker_caps=(4096, 2048, 1024, 512, 256, 128),
+                     desired_point_density=300, desired_immature_density=250,
+                     enable_loop_closing=False)
+        calib = default_calib(192, 144)
+        scene = PlaneScene(freq_hi=25.0, contrast=80.0)
+        poses, images = [], []
+        for i in range(18):
+            t = np.array([0.035 * i, 0.01 * np.sin(0.2 * i), 0.003 * i,
+                          0.0, 0.0015 * i, 0.0])
+            T = np.linalg.inv(np.asarray(lie.se3_exp(jnp.asarray(t))))
+            poses.append(T)
+            img, _ = scene.render(calib, jnp.asarray(T, jnp.float32))
+            images.append(np.clip(np.round(np.asarray(img)), 0,
+                                  255).astype(np.uint8))
+
+        kf1, traj1, fs1 = self._run(scene, calib, cfg, poses, images)
+        kf2, traj2, fs2 = self._run(scene, calib, cfg, poses, images)
+        assert kf1 == kf2
+        assert set(traj1) == set(traj2)
+        for i in traj1:
+            np.testing.assert_array_equal(traj1[i], traj2[i])
+
+        # strict sync oracle for quality
+        fs = FullSystem(calib, cfg)
+        for i in range(len(images)):
+            fs.add_active_frame(images[i], i, 1.0, i * 0.05)
+        from ldso_tpu.io.trajectory import ate_rmse
+        est_ids = [f.id for f in fs1.all_frames if f.pose_valid]
+        est = [fs1.all_frames[i].T_cw for i in range(len(est_ids))]
+        gt = [poses[i] for i in est_ids]
+        ate = ate_rmse([traj1[i] for i in sorted(traj1)],
+                       [poses[i] for i in sorted(traj1)])
+        ate_sync = ate_rmse([f.T_cw for f in fs.all_frames if f.pose_valid],
+                            [poses[f.id] for f in fs.all_frames
+                             if f.pose_valid])
+        assert ate < max(0.01, 3.0 * ate_sync + 1e-4), \
+            f"lookahead ATE {ate} vs sync {ate_sync}"
+
+
 class TestTrackChain:
     def test_chain_prep_matches_host_hypothesis(self):
         """_chain_prep's device constant-velocity hypothesis equals the
