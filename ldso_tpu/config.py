@@ -147,11 +147,14 @@ class Config:
     gn_its_on_point_activation: int = 3        # (Setting.cc:47)
     min_trace_quality: float = 3.0             # (Setting.cc:52)
     trace_stepsize: float = 1.0                # (Setting.cc:95)
-    # single-tap nearest sampling for the discrete epipolar SSD search (the
-    # bilinear GN refinement still supplies the subpixel estimate); 4x
-    # fewer taps on the hottest per-frame gather lattice. False = the
-    # reference's bilinear search (ImmaturePoint.cc:182-205).
-    trace_search_nearest: bool = True
+    # single-tap nearest sampling for the discrete epipolar SSD search
+    # instead of the reference's bilinear search energy
+    # (ImmaturePoint.cc:182-205). Default False: with trace_packed the
+    # bilinear search costs the same ONE gather per step (integer pattern
+    # offsets share the step's fractional part — pack_pattern_bilinear),
+    # and the round-4 ablation showed the bilinear search is the entire
+    # remaining ATE-parity gap (0.106 vs 0.20 mm; BASELINE.md).
+    trace_search_nearest: bool = False
     # with trace_search_nearest: bilinearly re-score the +-K steps around
     # the nearest-tap argmin (the reference's search energy,
     # ImmaturePoint.cc:182-205) before the GN refinement — recovers the

@@ -235,6 +235,15 @@ def trace(pool: ImmaturePool, dI_target: jax.Array, KRKi: jax.Array,
         else:
             from ldso_tpu.ops.interp import nearest
             hit = nearest(dI_target[..., 0], px, py)
+    elif cfg.trace_packed:
+        # the reference's BILINEAR search energy (ImmaturePoint.cc:182-205)
+        # at packed-nearest cost: integer pattern offsets share the step's
+        # fractional part, so one gather of the pattern+tap-packed image
+        # per step bilinearly samples the whole (unrotated) pattern
+        from ldso_tpu.ops.interp import (bilinear_packed_pattern,
+                                         pack_pattern_bilinear)
+        pimg = pack_pattern_bilinear(dI_target[..., 0], PATTERN)
+        hit = bilinear_packed_pattern(pimg, sx, sy, PATTERN.shape[0])
     else:
         hit = bilinear(dI_target[..., 0], px, py)
     res = hit - (aff[:, None, None, 0] * pool.color[:, None, :]

@@ -216,6 +216,52 @@ def pack_pattern(img, pattern):
     return jnp.stack(chans, axis=-1)
 
 
+def pack_pattern_bilinear(img, pattern):
+    """(H, W) image + (P, 2) INTEGER pattern offsets -> (H, W, 4P): for
+    each pattern offset, the four bilinear taps [v00, v01(+x), v10(+y),
+    v11(+x+y)] of img shifted by the offset.
+
+    For integer offsets every pattern tap of a sample at (x, y) shares the
+    SAME fractional part as the sample itself, so ONE gather at
+    (floor(x), floor(y)) plus one set of bilinear weights yields exact
+    bilinear samples of the whole pattern — P*4 x fewer gather indices
+    than per-tap bilinear (the trick behind the fast epipolar search;
+    `bilinear_packed_pattern`)."""
+    right = jnp.concatenate([img[:, 1:], img[:, -1:]], axis=1)
+    down = jnp.concatenate([img[1:], img[-1:]], axis=0)
+    down_right = jnp.concatenate([down[:, 1:], down[:, -1:]], axis=1)
+    packs = [pack_pattern(t, pattern)
+             for t in (img, right, down, down_right)]       # 4 x (H,W,P)
+    return jnp.stack(packs, axis=-1).reshape(
+        img.shape[0], img.shape[1], -1)                     # (H,W,P*4)
+
+
+def bilinear_packed_pattern(packed, x, y, P: int):
+    """Bilinear samples of ALL P (integer-offset) pattern pixels around
+    each (x, y) with ONE gather: packed = pack_pattern_bilinear(img, pat).
+    Returns (..., P). Uses the same weight factorization as `bilinear`,
+    so it is bit-identical to per-tap bilinear at the unrotated pattern
+    (away from the border clamp, which callers mask)."""
+    if jax.default_backend() == "tpu":
+        x, y = jax.lax.optimization_barrier((x, y))
+    H, W = packed.shape[0], packed.shape[1]
+    x = jnp.clip(x, 0.0, W - 1.001)
+    y = jnp.clip(y, 0.0, H - 1.001)
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    dx = (x - x0).astype(packed.dtype)[..., None]
+    dy = (y - y0).astype(packed.dtype)[..., None]
+    idx = y0.astype(jnp.int32) * W + x0.astype(jnp.int32)
+    r = jnp.take(packed.reshape(H * W, -1), idx, axis=0)
+    r = r.reshape(r.shape[:-1] + (P, 4))
+    dxdy = dx * dy
+    out = (dxdy * r[..., 3] + (dy - dxdy) * r[..., 2]
+           + (dx - dxdy) * r[..., 1] + (1.0 - dx - dy + dxdy) * r[..., 0])
+    if jax.default_backend() == "tpu":
+        out = jax.lax.optimization_barrier(out)
+    return out
+
+
 def nearest_packed_pattern(packed, x, y):
     """Nearest-tap sample of all P pattern pixels around each (x, y) with
     ONE gather: packed = pack_pattern(img, pattern), x/y: (...).

@@ -90,6 +90,97 @@ class PlaneScene:
         return img.astype(jnp.float32), idepth.astype(jnp.float32)
 
 
+@dataclasses.dataclass(frozen=True)
+class BoxScene:
+    """Fronto-parallel textured rectangles at different depths over a
+    background plane: depth DISCONTINUITIES and viewpoint-dependent
+    OCCLUSION (VERDICT r3 #8 — the smooth single plane never exercises
+    the trace's OOB handling, selection at depth edges, or loop matching
+    across parallax). Rendered by per-pixel nearest-hit ray casting
+    against K+1 z=const planes, so ground-truth poses and inverse depth
+    stay exact and resampling-free like PlaneScene."""
+
+    n_boxes: int = 7
+    seed: int = 11
+    z_bg: float = 4.5
+    z_lo: float = 1.8
+    z_hi: float = 3.2
+    n_waves: int = 24
+    contrast: float = 60.0
+    base: float = 128.0
+    freq_lo: float = 0.5
+    freq_hi: float = 12.0
+
+    def _boxes(self):
+        rng = np.random.RandomState(self.seed)
+        cx = rng.uniform(-1.6, 1.6, self.n_boxes)
+        cy = rng.uniform(-1.2, 1.2, self.n_boxes)
+        hx = rng.uniform(0.35, 0.9, self.n_boxes)
+        hy = rng.uniform(0.3, 0.8, self.n_boxes)
+        z = np.sort(rng.uniform(self.z_lo, self.z_hi, self.n_boxes))[::-1]
+        return cx, cy, hx, hy, z.copy()
+
+    def _face(self, k: int) -> PlaneScene:
+        # a distinct texture per face (and for the background, k = -1)
+        return PlaneScene(n_waves=self.n_waves, seed=self.seed + 31 * (k + 2),
+                          contrast=self.contrast, base=self.base,
+                          freq_lo=self.freq_lo, freq_hi=self.freq_hi)
+
+    def render(self, calib: Calibration, T_cw, lvl: int = 0,
+               exposure: float = 1.0, aff_a: float = 0.0, aff_b: float = 0.0):
+        """Same contract as PlaneScene.render: (image, idepth), camera
+        z-parameterized inverse depth."""
+        w, h = calib.w[lvl], calib.h[lvl]
+        fx, fy = calib.fx[lvl], calib.fy[lvl]
+        cx0, cy0 = calib.cx[lvl], calib.cy[lvl]
+        T_wc = lie.se3_inv(jnp.asarray(T_cw, jnp.float32))
+        R = T_wc[:3, :3]
+        o = T_wc[:3, 3]
+
+        xs, ys = jnp.meshgrid(jnp.arange(w, dtype=jnp.float32),
+                              jnp.arange(h, dtype=jnp.float32))
+        rays_cam = jnp.stack([(xs - cx0) / fx, (ys - cy0) / fy,
+                              jnp.ones_like(xs)], -1)
+        rays_w = jnp.einsum("ij,hwj->hwi", R, rays_cam)
+        rz = jnp.where(jnp.abs(rays_w[..., 2]) < 1e-9, 1e-9, rays_w[..., 2])
+
+        def hit(z_plane):
+            t = (z_plane - o[2]) / rz
+            X = o[None, None, :] + t[..., None] * rays_w
+            return t, X
+
+        t_bg, X_bg = hit(self.z_bg)
+        img = self._face(-1).texture(X_bg[..., 0], X_bg[..., 1])
+        t_best = t_bg
+
+        bx, by, hx, hy, bz = self._boxes()
+        for k in range(self.n_boxes):
+            t, X = hit(float(bz[k]))
+            inside = ((jnp.abs(X[..., 0] - float(bx[k])) < float(hx[k]))
+                      & (jnp.abs(X[..., 1] - float(by[k])) < float(hy[k]))
+                      & (t > 0.1))
+            closer = inside & (t < t_best)
+            face = self._face(k).texture(X[..., 0], X[..., 1])
+            img = jnp.where(closer, face, img)
+            t_best = jnp.where(closer, t, t_best)
+
+        img = jnp.exp(aff_a) * img + aff_b
+        img = jnp.clip(img * exposure, 0.0, 255.0)
+        idepth = jnp.where(t_best > 1e-6, 1.0 / jnp.maximum(t_best, 1e-6), 0.0)
+        return img.astype(jnp.float32), idepth.astype(jnp.float32)
+
+
+def make_scene(name: str, **kw):
+    """Scene-family factory: 'plane' (smooth single plane) or 'boxes'
+    (multi-depth occluding rectangles)."""
+    if name == "plane":
+        return PlaneScene(**kw)
+    if name == "boxes":
+        allowed = {f.name for f in dataclasses.fields(BoxScene)}
+        return BoxScene(**{k: v for k, v in kw.items() if k in allowed})
+    raise ValueError(f"unknown scene family '{name}' (plane|boxes)")
+
+
 def default_calib(w: int = 640, h: int = 480) -> Calibration:
     return Calibration.create(w, h, fx=0.55 * w, fy=0.55 * w,
                               cx=(w - 1) / 2.0, cy=(h - 1) / 2.0)

@@ -104,6 +104,31 @@ def test_pattern_packed_matches_per_tap_nearest():
         np.testing.assert_array_equal(np.asarray(ref), np.asarray(out)[:, p])
 
 
+def test_pattern_packed_bilinear_matches_per_tap():
+    """bilinear_packed_pattern == per-tap bilinear at the integer pattern
+    (all taps share the sample's fractional part), bit-exact away from
+    the border clamp."""
+    from ldso_tpu.config import PATTERN
+    from ldso_tpu.ops.interp import (bilinear_packed_pattern,
+                                     pack_pattern_bilinear)
+
+    rng = np.random.default_rng(6)
+    img = jnp.asarray(rng.normal(size=(29, 41)).astype(np.float32))
+    x = jnp.asarray(rng.uniform(3, 36, (7, 19)).astype(np.float32))
+    y = jnp.asarray(rng.uniform(3, 24, (7, 19)).astype(np.float32))
+    packed = pack_pattern_bilinear(img, PATTERN)
+    assert packed.shape == (29, 41, 32)
+    out = bilinear_packed_pattern(packed, x, y, PATTERN.shape[0])
+    assert out.shape == (7, 19, 8)
+    for p, (dx, dy) in enumerate(np.asarray(PATTERN)):
+        ref = bilinear(img, x + float(dx), y + float(dy))
+        # per-tap bilinear recomputes frac(x + k) in f32, losing up to
+        # ulp(x) ~ 4e-6 px of the fraction at x ~ 40 (6e-5 px at x ~ 640);
+        # the packed form reuses frac(x) for every tap (more consistent)
+        np.testing.assert_allclose(np.asarray(ref), np.asarray(out)[..., p],
+                                   rtol=0, atol=1e-5)
+
+
 def test_packed_under_jit_and_grad_free_path():
     # the hot paths run under jit; make sure tracing the packed gather is
     # fine. Under jit XLA may contract the tap-combine into FMAs with a

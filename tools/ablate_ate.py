@@ -32,15 +32,15 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def render_sequence(n):
+def render_sequence(n, scene_name="plane"):
     import jax.numpy as jnp
     from ldso_tpu.math import lie
-    from ldso_tpu.synthetic import PlaneScene, default_calib
+    from ldso_tpu.synthetic import make_scene, default_calib
 
     calib = default_calib(640, 480)
     # n_waves=32: the EXACT scene tools/head_to_head.py renders, so these
     # ATEs ablate against the measured reference 0.101 mm on the same frames
-    scene = PlaneScene(freq_hi=25.0, contrast=80.0, n_waves=32)
+    scene = make_scene(scene_name, freq_hi=25.0, contrast=80.0, n_waves=32)
     poses, images = [], []
     for i in range(n):
         t = np.array([0.03 * i, 0.01 * np.sin(0.2 * i), 0.004 * i])
@@ -105,6 +105,7 @@ def main():
     ap.add_argument("--frames", type=int, default=104)
     ap.add_argument("--only", default=None,
                     help="comma-separated subset of variant names")
+    ap.add_argument("--scene", choices=["plane", "boxes"], default="plane")
     args = ap.parse_args()
 
     from ldso_tpu.config import Config
@@ -136,7 +137,7 @@ def main():
         keep = set(args.only.split(","))
         variants = {k: v for k, v in variants.items() if k in keep}
 
-    calib, poses, images = render_sequence(args.frames)
+    calib, poses, images = render_sequence(args.frames, args.scene)
     out = []
     for name, cfg in variants.items():
         print(f"--- {name} ...", flush=True)

@@ -79,13 +79,14 @@ def brightness_gain(traj, n):
     return np.exp(ramp)
 
 
-def write_dataset(out_dir, poses, w=640, h=480, gains=None):
+def write_dataset(out_dir, poses, w=640, h=480, gains=None,
+                  scene_name="plane"):
     import jax.numpy as jnp
     from PIL import Image
-    from ldso_tpu.synthetic import PlaneScene, default_calib
+    from ldso_tpu.synthetic import make_scene, default_calib
 
     calib = default_calib(w, h)
-    scene = PlaneScene(freq_hi=25.0, contrast=80.0, n_waves=32)
+    scene = make_scene(scene_name, freq_hi=25.0, contrast=80.0, n_waves=32)
     img_dir = os.path.join(out_dir, "images")
     os.makedirs(img_dir, exist_ok=True)
     for i, T in enumerate(poses):
@@ -231,15 +232,17 @@ def main():
     ap.add_argument("--out", default=None)
     ap.add_argument("--skip-ours", action="store_true")
     ap.add_argument("--skip-ref", action="store_true")
+    ap.add_argument("--scene", choices=["plane", "boxes"], default="plane")
     args = ap.parse_args()
 
-    out = args.out or f"/tmp/h2h_{args.traj}"
+    out = args.out or f"/tmp/h2h_{args.traj}_{args.scene}"
     os.makedirs(out, exist_ok=True)
     gen = straight_poses if args.traj == "straight" else revisit_poses
     poses = gen(args.frames)
     print(f"writing {args.frames}-frame {args.traj} dataset to {out} ...")
     calib, scene = write_dataset(out, poses,
-                                 gains=brightness_gain(args.traj, args.frames))
+                                 gains=brightness_gain(args.traj, args.frames),
+                                 scene_name=args.scene)
     vocab = write_vocab(out, scene, calib)
     gt = np.load(os.path.join(out, "gt_poses.npy"))
 
