@@ -16,7 +16,7 @@ def parse_args(argv):
                 vocab=None, preset=0, mode=0, loopclosing=True,
                 start=0, end=100000, output="results.txt", nogui=True,
                 point_selection=None, quiet=False, speed=0.0,
-                noise=0.0, blur=0.0)
+                noise=0.0, blur=0.0, pipeline=None)
     for arg in argv:
         if "=" not in arg:
             continue
@@ -31,6 +31,16 @@ def parse_args(argv):
             opts["point_selection"] = int(v)
         elif k == "speed":
             opts["speed"] = float(v)   # >0: timestamp-paced, skip if behind
+        elif k == "pipeline":
+            # strict: per-frame sync loop (linearizeOperation semantics);
+            # lookahead: deterministic speculative dispatch (same
+            # trajectory decisions, overlapped tunnel round-trips);
+            # async: mapping thread (the reference's threaded mode).
+            # Default follows the reference: speed==0 -> strict
+            # (playbackSpeed==0 => linearizeOperation=true,
+            # run_dso_tum_mono.cc:323), speed>0 -> async.
+            assert v in ("strict", "lookahead", "async"), f"pipeline={v}"
+            opts["pipeline"] = v
         elif k == "noise":
             # benchmark_varNoise equivalent (px; Setting.cc:95-101)
             opts["noise"] = float(v)
@@ -62,7 +72,8 @@ def build_system(opts, dataset_type: str):
     if opts["files"] is None or opts["calib"] is None:
         print("usage: files=<path> calib=<camera.txt> [gamma=] [vignette=] "
               "[vocab=] [preset=0..3] [mode=0|1] [loopclosing=1] "
-              "[start=] [end=] [output=results.txt] [noise=px] [blur=sigma]")
+              "[start=] [end=] [output=results.txt] [noise=px] [blur=sigma] "
+              "[pipeline=strict|lookahead|async]")
         sys.exit(1)
 
     cfg = make_preset(opts["preset"])
@@ -104,6 +115,22 @@ def run(opts, dataset_type: str, kitti_output: bool = False):
     from ldso_tpu.utils.timing import maybe_xprof
 
     fs, reader, calib, cfg = build_system(opts, dataset_type)
+    # pipeline mode: the reference runs its mapping thread unless
+    # playbackSpeed==0 forces the synchronous linearizeOperation path
+    # (run_dso_tum_mono.cc:323, FullSystem.cc:160-167)
+    pmode = opts.get("pipeline") or (
+        "async" if opts.get("speed", 0.0) > 0 else "strict")
+
+    def make_driver(fs):
+        if pmode == "async":
+            from ldso_tpu.system.pipeline import AsyncPipeline
+            return AsyncPipeline(fs)
+        if pmode == "lookahead":
+            from ldso_tpu.system.pipeline import DeterministicPipeline
+            return DeterministicPipeline(fs)
+        return fs
+
+    driver = make_driver(fs)
     viewer = None
     if not opts.get("nogui", True):
         from ldso_tpu.viz_live import LiveViewer
@@ -136,7 +163,7 @@ def run(opts, dataset_type: str, kitti_output: bool = False):
                 n_skipped += 1
                 continue
         img, expo, ts = reader.get_image(i)
-        fs.add_active_frame(img, i, expo, ts)
+        driver.add_active_frame(img, i, expo, ts)
         n_run += 1
 
         # init-failure auto-reset within the first 250 frames
@@ -144,6 +171,7 @@ def run(opts, dataset_type: str, kitti_output: bool = False):
         if fs.init_failed and i - lo < 250:
             print(f"init failed at frame {i}; resetting")
             fs, reader2, calib, cfg = build_system(opts, dataset_type)
+            driver = make_driver(fs)
             if viewer is not None:
                 fs.set_viewer(viewer)
         if fs.is_lost:
@@ -155,6 +183,10 @@ def run(opts, dataset_type: str, kitti_output: bool = False):
                   f"{fs.global_map.num_frames()} KFs")
         i += 1
 
+    if pmode != "strict" and not fs.is_lost:
+        # blockUntilMappingIsFinished (FullSystem.cc:384-409); includes the
+        # shutdown-time pose-graph pass (Map::lastOptimizeAllKFs)
+        driver.block_until_mapping_is_finished()
     xprof.__exit__(None, None, None)
     dt = time.time() - t0
     print(f"processed {n_run} frames in {dt:.1f}s = {n_run / max(dt, 1e-9):.2f} fps"
@@ -165,7 +197,8 @@ def run(opts, dataset_type: str, kitti_output: bool = False):
     # final global optimization + outputs
     if fs.loop_closing is not None:
         print(f"loops closed: {fs.loop_closing.n_loops_closed}")
-    if fs.loop_closing is not None and fs.global_map.num_frames() > 4:
+    if (pmode == "strict" and fs.loop_closing is not None
+            and fs.global_map.num_frames() > 4):
         from ldso_tpu.loop import posegraph
         posegraph.run_pose_graph(fs.global_map)
 

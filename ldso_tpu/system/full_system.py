@@ -122,6 +122,33 @@ def _frame_step_chain(image, ref, T0, aff0, exposure, last_rmse, b_grad,
     return pyr, packed
 
 
+@functools.partial(jax.jit, static_argnames=("calib", "cfg", "coarsest"))
+def _frame_step_chain_batch(images, ref, chain, T_ref_cw, exposures, b_grad,
+                            calib, cfg: Config, coarsest: int):
+    """B chain frame programs fused into ONE dispatch: a vmapped pyramid
+    build + a lax.scan over the per-frame tracking LM threading the
+    TrackChain carry. One dispatch + ONE packed (B, P) result transfer
+    replace B of each — the pipelined ingest batch (AsyncPipeline
+    INGEST_BATCH) already uploads B frames as one message, so this makes
+    the whole tracking side one relay exchange per B frames."""
+    from ldso_tpu.ops.preprocess import make_pyramid
+    pyrs = jax.vmap(lambda im: make_pyramid(im, calib.levels, b_grad))(images)
+    no_abort = jnp.full((calib.levels,), 1e9, jnp.float32)
+
+    def step(chain_c, xs):
+        pyr_b, expo_b = xs
+        T0, aff0, _ = _chain_prep(chain_c, T_ref_cw)
+        T, aff, ok, res, flow = tracker.track_frame(
+            ref, pyr_b, T0, aff0, expo_b, no_abort, calib, cfg, coarsest)
+        packed = jnp.concatenate([
+            T.reshape(-1), aff, ok.astype(jnp.float32)[None],
+            jnp.zeros((1,), jnp.float32), res, flow])
+        return _chain_update(chain_c, packed, T0, T_ref_cw), packed
+
+    chain_out, packed_all = jax.lax.scan(step, chain, (pyrs, exposures))
+    return pyrs, packed_all, chain_out
+
+
 @jax.jit
 def _marg_shift_dev(arena, dIs, i, perm):
     """Arena host renumbering + dI-stack compaction, one dispatch."""
@@ -703,6 +730,22 @@ class FullSystem:
         packed.copy_to_host_async()
         return pyr, packed, ref_shell
 
+    def track_chain_dispatch_batch(self, shells, images_dev):
+        """Batched `track_chain_dispatch`: B frames in ONE dispatch (fused
+        pyramid builds + scanned tracking) with ONE packed (B, P) result
+        transfer. Returns (stacked pyrs, packed_all handle, ref_shell)."""
+        cfg, calib = self.cfg, self.calib
+        ref, ref_shell = self._tracker_ref_pair
+        T_ref = jnp.asarray(ref_shell.T_cw, jnp.float32)
+        expos = jnp.asarray([sh.exposure or 1.0 for sh in shells],
+                            jnp.float32)
+        pyrs, packed_all, chain = _frame_step_chain_batch(
+            images_dev, ref, self.track_chain, T_ref, expos, self.b_grad,
+            calib, cfg, calib.levels - 1)
+        self.track_chain = chain
+        packed_all.copy_to_host_async()
+        return pyrs, packed_all, ref_shell
+
     def track_chain_consume(self, shell: FrameShell, packed_dev,
                             ref_shell) -> bool:
         """Apply a landed chain-step result to the host mirrors. Returns
@@ -790,6 +833,11 @@ class FullSystem:
             host_affs[i] = fr.aff
             host_expos[i] = fr.exposure or 1.0
         self._refresh_trace_lanes()
+        # n_trace is a static argname but dead when the trace is disabled:
+        # pin it so every lane bucket shares ONE no-trace executable (the
+        # pipelined retrack path would otherwise pay a full first-compile
+        # per bucket — measured 11.6 s over the relay)
+        n_tr = self._trace_lanes if commit_trace else 0
         arena_out, pyr, packed_dev = _frame_step(
             upload_image(image), self.imm_arena,
             tracker_ref, T0, aff0, jnp.float32(shell.exposure),
@@ -799,7 +847,7 @@ class FullSystem:
             jnp.asarray(host_affs, jnp.float32),
             jnp.asarray(host_expos, jnp.float32),
             self.b_grad, bool(commit_trace), calib, cfg, coarsest,
-            n_trace=self._trace_lanes)
+            n_trace=n_tr)
         packed_dev.copy_to_host_async()   # overlap the pull with host work
         self._frame_pyr = pyr
         packed = np.asarray(packed_dev, np.float64)
@@ -881,6 +929,41 @@ class FullSystem:
         self._last_flow = np.asarray(flow, np.float64)
         self._last_rmse = float(res[0])
         return bool(np.isfinite(self._last_rmse))
+
+    def warm_retrack_programs(self):
+        """Compile the pipelined-retrack executables up front.
+
+        The retrack path (`_track_new_coarse(commit_trace=False)`) runs
+        only when the gate trips mid-run; its two programs — the no-trace
+        `_frame_step` and the CHUNK-4 `track_frame_hypotheses` — are
+        compiled by nothing else, so the first trip would pay a >10 s
+        relay first-compile inside the measured window. AsyncPipeline
+        calls this at construction; repeat calls are free (jit cache)."""
+        if getattr(self, "_retrack_warm", False):
+            return
+        ref, ref_shell = self._tracker_ref_pair
+        if ref is None:
+            ref, ref_shell = self.tracker_ref, self.tracker_ref_shell
+        if ref is None or ref_shell is None:
+            return
+        cfg, calib = self.cfg, self.calib
+        F = self.ef.F
+        nlv = calib.levels
+        img = jnp.zeros((calib.h[0], calib.w[0]), jnp.uint8)
+        eye4 = jnp.eye(4, dtype=jnp.float32)
+        _, pyr, packed = _frame_step(
+            img, self.imm_arena, ref, eye4, jnp.zeros(2, jnp.float32),
+            jnp.float32(1.0), jnp.full((nlv,), jnp.inf, jnp.float32),
+            eye4, jnp.tile(eye4[None], (F, 1, 1)),
+            jnp.zeros((F, 2), jnp.float32), jnp.ones((F,), jnp.float32),
+            self.b_grad, False, calib, cfg, nlv - 1, n_trace=0)
+        out = tracker.track_frame_hypotheses(
+            ref, pyr, jnp.tile(eye4[None], (4, 1, 1)),
+            jnp.zeros(2, jnp.float32), jnp.float32(1.0),
+            jnp.full((nlv,), 1e9, jnp.float32), calib, cfg, nlv - 1)
+        np.asarray(packed)
+        np.asarray(out[0])   # real pulls: block_until_ready lies over relays
+        self._retrack_warm = True
 
     def _keyframe_decision(self, shell: FrameShell, ref=None) -> bool:
         """Optical-flow + affine heuristic (FullSystem.cc:125-147). ref:
@@ -1212,25 +1295,31 @@ class FullSystem:
         flags_dev = jnp.asarray(np.concatenate(
             [np.asarray(self.marg_flags), np.zeros(F - nf, bool)]))
         with self.timer.stage("kf.post_ba"):
-            self.ef.W, packed, drop_dev, marg_dev = _post_ba_dev(
-                self.ef.W, jnp.asarray(marg_frame_targets), flags_dev,
-                jnp.int32(nf - 1), jnp.int32(nf - 2))
-            packed.copy_to_host_async()
-            # the tracker reference splat must see the window BEFORE point
-            # marginalization (reference order: setCoarseTrackingRef at
-            # :507-514 precedes flagPointsForRemoval/marginalizePointsF) —
-            # but it is only PUBLISHED after the post-BA poses land on the
-            # shells below, so the pipelined tracker never pairs the new
-            # splat with pre-BA shell poses
-            pending_tracker_ref = self._dispatch_tracker_ref()
-            # queue the fused point-marginalization program on the device
-            # masks directly — it computes while the post-BA pull flies home
-            marg_handle = self.ef.marginalize_and_drop_dispatch(
-                marg_dev, drop_dev, dIs, calib.w[0], calib.h[0])
+            with self.timer.stage("kf.post_ba.dispatch"):
+                self.ef.W, packed, drop_dev, marg_dev = _post_ba_dev(
+                    self.ef.W, jnp.asarray(marg_frame_targets), flags_dev,
+                    jnp.int32(nf - 1), jnp.int32(nf - 2))
+                packed.copy_to_host_async()
+                # the tracker reference splat must see the window BEFORE
+                # point marginalization (reference order:
+                # setCoarseTrackingRef at :507-514 precedes
+                # flagPointsForRemoval/marginalizePointsF) — but it is only
+                # PUBLISHED after the post-BA poses land on the shells
+                # below, so the pipelined tracker never pairs the new splat
+                # with pre-BA shell poses
+                pending_tracker_ref = self._dispatch_tracker_ref()
+                # queue the fused point-marginalization program on the
+                # device masks directly — it computes while the post-BA
+                # pull flies home
+                marg_handle = self.ef.marginalize_and_drop_dispatch(
+                    marg_dev, drop_dev, dIs, calib.w[0], calib.h[0])
             if stats_handle is not None:
-                rmse = self.ef.consume_stats(stats_handle)
-            self._consume_activation()
-            packed = np.asarray(packed, np.float64)
+                with self.timer.stage("kf.post_ba.stats"):
+                    rmse = self.ef.consume_stats(stats_handle)
+            with self.timer.stage("kf.post_ba.activation"):
+                self._consume_activation()
+            with self.timer.stage("kf.post_ba.pull"):
+                packed = np.asarray(packed, np.float64)
         self.is_lost = self.is_lost or self.ef.is_lost
 
         num_kfs = self.global_map.num_frames() + 1

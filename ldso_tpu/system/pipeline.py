@@ -32,7 +32,27 @@ import collections
 import threading
 from typing import Optional
 
+import numpy as np
+
 from ldso_tpu.system.full_system import FullSystem
+
+
+class _PackedGroup:
+    """One ingest batch's packed tracking results: a single (B, P) device
+    transfer shared by B per-frame pending entries."""
+    __slots__ = ("h", "_np")
+
+    def __init__(self, h):
+        self.h = h
+        self._np = None
+
+    def is_ready(self) -> bool:
+        return self._np is not None or self.h.is_ready()
+
+    def rows(self) -> np.ndarray:
+        if self._np is None:
+            self._np = np.asarray(self.h, np.float64)
+        return self._np
 
 
 class DeterministicPipeline:
@@ -150,9 +170,16 @@ class AsyncPipeline:
     # per mapping iteration so it stays shallow in practice
     MAX_QUEUE = 32
 
-    # max in-flight chain-dispatched frames (device ~13 ms each; 4 keeps
-    # the device fed across one ~35 ms tunnel round-trip)
-    CHAIN_DEPTH = 4
+    # max in-flight chain-dispatched frames. Consuming frame i's packed
+    # result can only be as fast as the device finishing frame i's
+    # programs plus the result's relay transit (~30-60 ms end to end);
+    # depth 8 gives each consume ~8 frame-intervals of slack so the
+    # tracking thread waits on device THROUGHPUT, not latency. Frames in
+    # flight track against the dispatch-time reference — the same
+    # staleness the reference's double-buffered coarseTracker swap allows
+    # under mapping load (FullSystem.cc:104-111); the retrack gate catches
+    # the rare failure.
+    CHAIN_DEPTH = 8
 
     # frames per host->device upload: the tunnel charges a ~8 ms fixed
     # overhead per transfer message on top of bandwidth (measured: one
@@ -178,10 +205,21 @@ class AsyncPipeline:
         # chain-tracking state (tracking thread only)
         self.pending = collections.deque()   # (shell, image, pyr, packed, ref_shell)
         self._ingest = []                    # staged (shell, host image)
+        # host->device serialization of a frame batch costs ~3-4 ms/frame
+        # of pure host CPU (the relay encodes the transfer message); a
+        # dedicated uploader thread overlaps that with the tracking
+        # thread's consume waits. Futures resolve IN ORDER (1 worker), so
+        # chain dispatch order is preserved.
+        self._upload_pool = None             # lazy ThreadPoolExecutor(1)
+        self._upl_q = collections.deque()    # (staged list, future(batch))
         self._chain_dirty = True
         self._slast = None
         self._sprelast = None
         self.thread = None
+        # compile the rare-path retrack executables NOW: the gate can trip
+        # mid-window, and a first-compile over the relay costs >10 s
+        if not linearize_operation and fs.initialized:
+            fs.warm_retrack_programs()
         if self.running:
             # XLA's compile passes recurse deeply; the platform-default
             # thread stack (8 MB here) can overflow when a fused keyframe
@@ -213,8 +251,11 @@ class AsyncPipeline:
         fs = self.fs
         if self.linearize_operation or not fs.initialized:
             with self._map_lock:
-                return fs.add_active_frame(image, frame_id, exposure,
-                                           timestamp)
+                shell = fs.add_active_frame(image, frame_id, exposure,
+                                            timestamp)
+                if not self.linearize_operation and fs.initialized:
+                    fs.warm_retrack_programs()   # free once compiled
+                return shell
 
         from ldso_tpu.slam_map import FrameShell
 
@@ -230,48 +271,98 @@ class AsyncPipeline:
         self._ingest.append((shell, image))
         if len(self._ingest) >= max(1, self.INGEST_BATCH):
             self._flush_ingest()
-        self._drain(block=len(self.pending) > self.CHAIN_DEPTH)
+        self._drain(block=False)
         return shell
 
-    def _flush_ingest(self):
-        """Upload the staged frames as ONE transfer and dispatch their
-        chain programs back-to-back."""
-        if not self._ingest:
-            return
-        fs = self.fs
-        staged, self._ingest = self._ingest, []
-        if len(staged) == 1:
-            shell, image = staged[0]
-            pyr, packed, ref_shell = fs.track_chain_dispatch(shell, image)
-            self.pending.append((shell, image, pyr, packed, ref_shell))
-            return
+    @staticmethod
+    def _upload_batch(staged):
+        """Uploader-thread body: serialize the staged frames into ONE
+        host->device transfer (pure host CPU + async enqueue)."""
         import numpy as np
         import jax.numpy as jnp
         from ldso_tpu.ops.preprocess import upload_image
         if all(isinstance(img, np.ndarray) for _, img in staged):
-            batch = jnp.asarray(np.stack([img for _, img in staged]))
-        else:                     # device handles: nothing to batch
-            batch = [upload_image(img) for _, img in staged]
-        for k, (shell, image) in enumerate(staged):
-            pyr, packed, ref_shell = fs.track_chain_dispatch(shell, batch[k])
-            self.pending.append((shell, image, pyr, packed, ref_shell))
+            return jnp.asarray(np.stack([img for _, img in staged]))
+        return [upload_image(img) for _, img in staged]  # device handles
+
+    def _flush_ingest(self):
+        """Hand the staged frames to the uploader thread as ONE transfer;
+        their chain programs are dispatched (in order) by
+        `_dispatch_ready` once the upload future resolves."""
+        if not self._ingest:
+            return
+        with self.fs.timer.stage("pipe.ingest"):
+            staged, self._ingest = self._ingest, []
+            if self._upload_pool is None:
+                from concurrent.futures import ThreadPoolExecutor
+                self._upload_pool = ThreadPoolExecutor(
+                    max_workers=1, thread_name_prefix="ldso-upload")
+            self._upl_q.append(
+                (staged, self._upload_pool.submit(self._upload_batch, staged)))
+            self._dispatch_ready(block=len(self._upl_q) > 2)
+
+    def _dispatch_ready(self, block: bool):
+        """Dispatch chain programs for every staged batch whose upload has
+        landed (all of them when block=True). Tracking-thread only — the
+        chain state update is sequential."""
+        fs = self.fs
+        while self._upl_q and (block or self._upl_q[0][1].done()):
+            staged, fut = self._upl_q.popleft()
+            with fs.timer.stage("pipe.upload_wait"):
+                batch = fut.result()
+            if len(staged) > 1 and not isinstance(batch, list):
+                # fused multi-frame chain program: one dispatch, one
+                # (B, P) result transfer for the whole staged batch
+                shells = [sh for sh, _ in staged]
+                pyrs, packed_all, ref_shell = fs.track_chain_dispatch_batch(
+                    shells, batch)
+                grp = _PackedGroup(packed_all)
+                for k, (shell, image) in enumerate(staged):
+                    self.pending.append((shell, image, (pyrs, k),
+                                         (grp, k), ref_shell))
+            else:
+                for k, (shell, image) in enumerate(staged):
+                    pyr, packed, ref_shell = fs.track_chain_dispatch(
+                        shell, batch[k] if len(staged) > 1 else batch[0])
+                    self.pending.append((shell, image, pyr, packed,
+                                         ref_shell))
 
     def _drain(self, block: bool):
-        """Consume landed chain-step results in order. With block=False only
-        results whose transfer already finished are consumed."""
+        """Consume landed chain-step results in order.
+
+        block=False (steady state): consume results that have already
+        landed, plus — blocking — just enough to bring the in-flight
+        count back under CHAIN_DEPTH. Never drains the queue to empty;
+        that would stall the tracking thread on its own freshest
+        dispatches (pull ≈ full round-trip) instead of on results whose
+        async transfer finished frames ago.
+        block=True (chain rebuild / shutdown): consume everything."""
         fs = self.fs
-        while self.pending and not fs.is_lost:
-            if not block and not self.pending[0][3].is_ready():
+        self._dispatch_ready(block=False)
+        while (self.pending or (block and self._upl_q)) and not fs.is_lost:
+            if not self.pending:
+                self._dispatch_ready(block=True)
+                continue
+            head = self.pending[0][3]
+            head = head[0] if type(head) is tuple else head
+            if (not block and len(self.pending) <= self.CHAIN_DEPTH
+                    and not head.is_ready()):
                 return
             shell, image, pyr, packed, ref_shell = self.pending.popleft()
-            if not fs.track_chain_consume(shell, packed, ref_shell):
+            with fs.timer.stage("pipe.consume"):
+                if type(packed) is tuple:           # row of a batched pull
+                    grp, row = packed
+                    packed = grp.rows()[row]
+                consumed = fs.track_chain_consume(shell, packed, ref_shell)
+            if not consumed:
                 # gate tripped: host retry sweep against the CURRENT ref
                 # (the reference also retracks against the newest KF,
                 # FullSystem.cc:104-123); the device chain continued from
                 # the bad pose, so rebuild it once the queue is empty
-                ok = fs._track_new_coarse(
-                    shell, image, commit_trace=False,
-                    neighbors=(self._slast, self._sprelast))
+                with fs.timer.stage("pipe.retrack"):
+                    ok = fs._track_new_coarse(
+                        shell, image, commit_trace=False,
+                        neighbors=(self._slast, self._sprelast))
                 self._chain_dirty = True
                 if not ok:
                     fs.is_lost = True
@@ -281,6 +372,9 @@ class AsyncPipeline:
                         sh.pose_valid = False
                     for sh, _ in self._ingest:
                         sh.pose_valid = False
+                    for staged, _ in self._upl_q:
+                        for sh, _ in staged:
+                            sh.pose_valid = False
                     return
                 # the retrack ran against the CURRENT tracker ref, so the
                 # flow/affine quantities on the shell are relative to it —
@@ -289,9 +383,16 @@ class AsyncPipeline:
                 ref_shell = fs._last_track_ref
             self._sprelast, self._slast = self._slast, shell
             need_kf = fs._keyframe_decision(shell, ref=ref_shell)
+            # slice this frame's pyramid out of a batched dispatch (plain
+            # tuple; FramePyramid itself is a NamedTuple, so match exactly)
+            if type(pyr) is tuple:
+                import jax
+                pyrs, row = pyr
+                pyr = jax.tree_util.tree_map(lambda x: x[row], pyrs)
             with self.cond:
                 while len(self.unmapped) >= self.max_queue and self.running:
-                    self.cond.wait(0.05)    # backpressure (HBM-bounded)
+                    with fs.timer.stage("pipe.backpressure"):
+                        self.cond.wait(0.05)    # backpressure (HBM-bounded)
                 self.unmapped.append((shell, pyr))
                 if need_kf:
                     # DSO: needNewKFAfter = shell->trackingRef->id
@@ -301,7 +402,8 @@ class AsyncPipeline:
         # rebuild only once EVERY added frame has been tracked: staged
         # (not yet dispatched) frames sit in all_frames with placeholder
         # poses, and chain_reset reads the newest posed shells
-        if self._chain_dirty and not self.pending and not self._ingest:
+        if (self._chain_dirty and not self.pending and not self._ingest
+                and not self._upl_q):
             fs.chain_reset()
             self._chain_dirty = False
 
@@ -325,10 +427,12 @@ class AsyncPipeline:
                 with self._map_lock:
                     if fs.global_map.num_frames() <= 2:
                         # guaranteed KFs for the first two tracked frames
-                        fs.make_keyframe(shell, pyr)
+                        with fs.timer.stage("pipe.map_kf"):
+                            fs.make_keyframe(shell, pyr)
                     elif qlen > 0:
                         # other frames waiting: mapping is behind
-                        fs.make_non_keyframe(shell, pyr)
+                        with fs.timer.stage("pipe.map_nonkf"):
+                            fs.make_non_keyframe(shell, pyr)
                         if self.need_ketchup:
                             with self.cond:
                                 if self.unmapped:
@@ -340,10 +444,12 @@ class AsyncPipeline:
                         newest_id = (fs.window_frames[-1].id
                                      if fs.window_frames else -1)
                         if self.need_new_kf_after >= newest_id:
-                            fs.make_keyframe(shell, pyr)
+                            with fs.timer.stage("pipe.map_kf"):
+                                fs.make_keyframe(shell, pyr)
                             self.need_ketchup = False
                         else:
-                            fs.make_non_keyframe(shell, pyr)
+                            with fs.timer.stage("pipe.map_nonkf"):
+                                fs.make_non_keyframe(shell, pyr)
             except BaseException as e:  # noqa: BLE001
                 self.exc = e
                 self.running = False

@@ -204,3 +204,65 @@ class TestTrackChain:
                                    atol=1e-5)
         np.testing.assert_allclose(np.asarray(c_bad.aff), 0.0, atol=1e-6)
         np.testing.assert_allclose(np.asarray(c_bad.rmse), 3.0, atol=1e-6)
+
+
+class TestChainBatch:
+    def test_batched_chain_matches_sequential(self):
+        """_frame_step_chain_batch (one fused dispatch per ingest batch)
+        produces the same packed results and final chain state as B
+        sequential _frame_step_chain dispatches."""
+        import jax
+        from ldso_tpu.frontend import tracker
+        from ldso_tpu.ops.preprocess import make_pyramid
+        from ldso_tpu.system.full_system import (
+            TrackChain, _chain_prep, _chain_update, _frame_step_chain,
+            _frame_step_chain_batch)
+
+        calib = default_calib(192, 144)
+        scene = PlaneScene(freq_hi=25.0, contrast=80.0)
+        cfg = Config()
+        img0, id0 = scene.render(calib, jnp.eye(4, dtype=jnp.float32))
+        pyr0 = make_pyramid(img0, calib.levels)
+        ref = tracker.make_tracker_ref_from_idepth(
+            id0, pyr0, calib, cfg.tracker_caps[:calib.levels], stride=2)
+
+        B = 4
+        images = []
+        for b in range(1, B + 1):
+            T = lie.se3_exp(jnp.asarray(
+                [0.01 * b, -0.004 * b, 0.002 * b, 0.001 * b, 0.002 * b, 0.0],
+                jnp.float32))
+            img, _ = scene.render(calib, T)
+            images.append(np.clip(np.round(np.asarray(img)), 0,
+                                  255).astype(np.uint8))
+        T_ref = jnp.eye(4, dtype=jnp.float32)
+        L = calib.levels
+        chain0 = TrackChain(T_ref, T_ref, jnp.zeros(2, jnp.float32),
+                            jnp.full((L,), jnp.inf, jnp.float32))
+        expos = jnp.ones((B,), jnp.float32)
+
+        # sequential oracle: B chain dispatches
+        chain = chain0
+        seq_packed = []
+        for b in range(B):
+            T0, aff0, rmse = _chain_prep(chain, T_ref)
+            pyr, packed = _frame_step_chain(
+                jnp.asarray(images[b]), ref, T0, aff0, expos[b], rmse,
+                None, calib, cfg, L - 1)
+            chain = _chain_update(chain, packed, T0, T_ref)
+            seq_packed.append(np.asarray(packed))
+
+        pyrs, packed_all, chain_b = _frame_step_chain_batch(
+            jnp.asarray(np.stack(images)), ref, chain0, T_ref, expos,
+            None, calib, cfg, L - 1)
+        packed_all = np.asarray(packed_all)
+        for b in range(B):
+            np.testing.assert_allclose(packed_all[b], seq_packed[b],
+                                       rtol=2e-4, atol=2e-5)
+        np.testing.assert_allclose(np.asarray(chain_b.T_slast),
+                                   np.asarray(chain.T_slast), atol=2e-5)
+        # the stacked pyramids slice to the per-frame pyramid
+        pyr_last = jax.tree_util.tree_map(lambda x: x[B - 1], pyrs)
+        pyr_ref = make_pyramid(jnp.asarray(images[B - 1]), calib.levels)
+        np.testing.assert_allclose(np.asarray(pyr_last.dI[0]),
+                                   np.asarray(pyr_ref.dI[0]), atol=1e-5)
