@@ -838,19 +838,21 @@ class FullSystem:
         # pipelined retrack path would otherwise pay a full first-compile
         # per bucket — measured 11.6 s over the relay)
         n_tr = self._trace_lanes if commit_trace else 0
-        arena_out, pyr, packed_dev = _frame_step(
-            upload_image(image), self.imm_arena,
-            tracker_ref, T0, aff0, jnp.float32(shell.exposure),
-            jnp.asarray(self.last_coarse_rmse[:nlv], jnp.float32),
-            jnp.asarray(ref_shell.T_cw, jnp.float32),
-            jnp.asarray(T_hosts, jnp.float32),
-            jnp.asarray(host_affs, jnp.float32),
-            jnp.asarray(host_expos, jnp.float32),
-            self.b_grad, bool(commit_trace), calib, cfg, coarsest,
-            n_trace=n_tr)
-        packed_dev.copy_to_host_async()   # overlap the pull with host work
+        with self.timer.stage("track.step_dispatch"):
+            arena_out, pyr, packed_dev = _frame_step(
+                upload_image(image), self.imm_arena,
+                tracker_ref, T0, aff0, jnp.float32(shell.exposure),
+                jnp.asarray(self.last_coarse_rmse[:nlv], jnp.float32),
+                jnp.asarray(ref_shell.T_cw, jnp.float32),
+                jnp.asarray(T_hosts, jnp.float32),
+                jnp.asarray(host_affs, jnp.float32),
+                jnp.asarray(host_expos, jnp.float32),
+                self.b_grad, bool(commit_trace), calib, cfg, coarsest,
+                n_trace=n_tr)
+            packed_dev.copy_to_host_async()  # overlap pull with host work
         self._frame_pyr = pyr
-        packed = np.asarray(packed_dev, np.float64)
+        with self.timer.stage("track.step_pull"):
+            packed = np.asarray(packed_dev, np.float64)
         T = packed[:16].reshape(4, 4)
         aff = packed[16:18]
         ok = packed[18] > 0.5
@@ -890,12 +892,15 @@ class FullSystem:
                 min_abort = jnp.asarray(
                     np.where(np.isfinite(achieved), achieved, 1e9), jnp.float32)
                 T_batch = jnp.asarray(np.stack(chunk), jnp.float32)
-                Tb, affb, okb, resb, flowb = tracker.track_frame_hypotheses(
-                    tracker_ref, pyr, T_batch, aff0,
-                    jnp.float32(shell.exposure), min_abort, calib, cfg,
-                    coarsest)
-                okn = device_get(okb)
-                resn = np.asarray(resb, np.float64)
+                with self.timer.stage("track.sweep_dispatch"):
+                    Tb, affb, okb, resb, flowb = \
+                        tracker.track_frame_hypotheses(
+                            tracker_ref, pyr, T_batch, aff0,
+                            jnp.float32(shell.exposure), min_abort, calib,
+                            cfg, coarsest)
+                with self.timer.stage("track.sweep_pull"):
+                    okn = device_get(okb)
+                    resn = np.asarray(resb, np.float64)
                 resn0 = np.where(okn & np.isfinite(resn[:, 0]),
                                  resn[:, 0], np.inf)
                 k = int(np.argmin(resn0))
@@ -1248,6 +1253,24 @@ class FullSystem:
         return np.asarray(drop), np.asarray(marg)
 
     def make_keyframe(self, shell: FrameShell, pyr: FramePyramid):
+        """makeKeyFrame (:410-591), synchronous: dispatch + consume in one
+        call (the reference's linearizeOperation semantics)."""
+        self.make_keyframe_dispatch(shell, pyr)()
+
+    def make_keyframe_dispatch(self, shell: FrameShell, pyr: FramePyramid):
+        """Dispatch half of makeKeyFrame: every device program (trace,
+        insert, activate, BA LM, post-BA, tracker-ref splat, point
+        marginalization, new candidates) is queued and every result
+        transfer started, with ZERO blocking pulls. Returns a finish()
+        closure that consumes the landed results (pose sync, tracker-ref
+        publish, frame marginalization, loop closing).
+
+        The async mapping thread calls finish() lazily — after mapping
+        further non-keyframes — so the ~100 ms the device+relay need to
+        drain the BA queue overlaps with useful work instead of stalling
+        the mapping loop (the measured kf.post_ba.stats wait). finish()
+        MUST run before the next make_keyframe_dispatch: it renumbers the
+        window (frame marginalization) and registers the keyframe id."""
         cfg, calib = self.cfg, self.calib
         if not getattr(self, "_traced_this_frame", False):
             with self.timer.stage("kf.trace"):
@@ -1294,139 +1317,161 @@ class FullSystem:
             [self.marg_flags[j] if j < nf else False for j in range(F)])
         flags_dev = jnp.asarray(np.concatenate(
             [np.asarray(self.marg_flags), np.zeros(F - nf, bool)]))
-        with self.timer.stage("kf.post_ba"):
-            with self.timer.stage("kf.post_ba.dispatch"):
-                self.ef.W, packed, drop_dev, marg_dev = _post_ba_dev(
-                    self.ef.W, jnp.asarray(marg_frame_targets), flags_dev,
-                    jnp.int32(nf - 1), jnp.int32(nf - 2))
-                packed.copy_to_host_async()
-                # the tracker reference splat must see the window BEFORE
-                # point marginalization (reference order:
-                # setCoarseTrackingRef at :507-514 precedes
-                # flagPointsForRemoval/marginalizePointsF) — but it is only
-                # PUBLISHED after the post-BA poses land on the shells
-                # below, so the pipelined tracker never pairs the new splat
-                # with pre-BA shell poses
-                pending_tracker_ref = self._dispatch_tracker_ref()
-                # queue the fused point-marginalization program on the
-                # device masks directly — it computes while the post-BA
-                # pull flies home
-                marg_handle = self.ef.marginalize_and_drop_dispatch(
-                    marg_dev, drop_dev, dIs, calib.w[0], calib.h[0])
+        with self.timer.stage("kf.post_ba.dispatch"):
+            self.ef.W, packed, drop_dev, marg_dev = _post_ba_dev(
+                self.ef.W, jnp.asarray(marg_frame_targets), flags_dev,
+                jnp.int32(nf - 1), jnp.int32(nf - 2))
+            packed.copy_to_host_async()
+            # the tracker reference splat must see the window BEFORE
+            # point marginalization (reference order:
+            # setCoarseTrackingRef at :507-514 precedes
+            # flagPointsForRemoval/marginalizePointsF) — but it is only
+            # PUBLISHED after the post-BA poses land on the shells
+            # below, so the pipelined tracker never pairs the new splat
+            # with pre-BA shell poses
+            pending_tracker_ref = self._dispatch_tracker_ref()
+            # queue the fused point-marginalization program on the
+            # device masks directly — it computes while the post-BA
+            # pull flies home
+            marg_handle = self.ef.marginalize_and_drop_dispatch(
+                marg_dev, drop_dev, dIs, calib.w[0], calib.h[0])
+
+        # new candidate selection depends only on already-queued device
+        # state; adding the candidates in the dispatch half lets the very
+        # next traced frame (possibly mapped before finish() runs) extend
+        # them instead of missing a trace
+        with self.timer.stage("kf.new_traces"):
+            self._make_new_traces(shell, pyr, idx)
+
+        def finish(rmse=rmse):
             if stats_handle is not None:
                 with self.timer.stage("kf.post_ba.stats"):
                     rmse = self.ef.consume_stats(stats_handle)
             with self.timer.stage("kf.post_ba.activation"):
                 self._consume_activation()
             with self.timer.stage("kf.post_ba.pull"):
-                packed = np.asarray(packed, np.float64)
-        self.is_lost = self.is_lost or self.ef.is_lost
+                pk = np.asarray(packed, np.float64)
+            self.is_lost = self.is_lost or self.ef.is_lost
 
-        num_kfs = self.global_map.num_frames() + 1
-        if num_kfs <= 4:
-            if ((num_kfs == 2 and rmse > 20) or (num_kfs == 3 and rmse > 13)
-                    or (num_kfs == 4 and rmse > 9)):
-                self.init_failed = True
-        if self.is_lost:
-            return
-        P = self.ef.P
-        T = packed[:F * 16].reshape(F, 4, 4)
-        A = packed[F * 16:F * 18].reshape(F, 2)
-        dead = packed[F * 18:F * 18 + P] > 0.5
-        base = F * 18 + 3 * P
-        self._marg_priors = packed[base:base + F * 8].reshape(F, 8)
-        self._marg_deltas = packed[base + F * 8:base + F * 16].reshape(F, 8)
-        if dead.any():
-            self._count_dead(dead)
-            self.ef.pt_valid_np &= ~dead
-        for i, sh in enumerate(self.window_frames):
-            sh.T_cw = T[i].copy()
-            sh.aff = A[i].copy()
-            if sh.kf_id >= self.global_map.latest_optimized_kf_id:
-                sh.S_cw = sh.T_cw.copy()
-        # shells now carry post-BA poses: safe to let the tracking thread
-        # see the new reference
-        self._publish_tracker_ref(pending_tracker_ref)
-        # point retirement: the fused program was dispatched before the
-        # post-BA pull; its result landed with it (relinearize + FEJ-fix +
-        # quality gate + Schur-marginalize + drop; previously 3 pulls)
-        with self.timer.stage("kf.marg_points"):
-            rec, really_marg, dropped = \
-                self.ef.marginalize_and_drop_consume(marg_handle)
-            if really_marg.any():
-                self._record_retired(really_marg, rec)
-            only_drop = dropped & ~really_marg
-            if only_drop.any():
-                self._count_dead(only_drop)
+            num_kfs = self.global_map.num_frames() + 1
+            if num_kfs <= 4:
+                if ((num_kfs == 2 and rmse > 20)
+                        or (num_kfs == 3 and rmse > 13)
+                        or (num_kfs == 4 and rmse > 9)):
+                    self.init_failed = True
+            if self.is_lost:
+                return
+            P = self.ef.P
+            T = pk[:F * 16].reshape(F, 4, 4)
+            A = pk[F * 16:F * 18].reshape(F, 2)
+            dead = pk[F * 18:F * 18 + P] > 0.5
+            base = F * 18 + 3 * P
+            self._marg_priors = pk[base:base + F * 8].reshape(F, 8)
+            self._marg_deltas = pk[base + F * 8:base + F * 16].reshape(F, 8)
+            if dead.any():
+                self._count_dead(dead)
+                self.ef.pt_valid_np &= ~dead
+            for i, sh in enumerate(self.window_frames):
+                sh.T_cw = T[i].copy()
+                sh.aff = A[i].copy()
+                if sh.kf_id >= self.global_map.latest_optimized_kf_id:
+                    sh.S_cw = sh.T_cw.copy()
+            # shells now carry post-BA poses: safe to let the tracking
+            # thread see the new reference
+            self._publish_tracker_ref(pending_tracker_ref)
+            # point retirement: the fused program was dispatched before the
+            # post-BA pull; its result landed with it (relinearize +
+            # FEJ-fix + quality gate + Schur-marginalize + drop)
+            with self.timer.stage("kf.marg_points"):
+                rec, really_marg, dropped = \
+                    self.ef.marginalize_and_drop_consume(marg_handle)
+                if really_marg.any():
+                    self._record_retired(really_marg, rec)
+                only_drop = dropped & ~really_marg
+                if only_drop.any():
+                    self._count_dead(only_drop)
 
-        with self.timer.stage("kf.new_traces"):
-            self._make_new_traces(shell, pyr, idx)
+            # covisibility edges (fast loop-closing mode; :532-567)
+            if len(self.window_frames) >= 2:
+                ref = self.window_frames[-2]
+                first = self.window_frames[0]
+                shell.add_pose_rel(ref.kf_id,
+                                   shell.T_cw @ np.linalg.inv(ref.T_cw))
+                if first is not ref:
+                    shell.add_pose_rel(first.kf_id,
+                                       shell.T_cw @ np.linalg.inv(first.T_cw))
+            for fr in self.window_frames[:-1]:
+                for kfid in list(fr.pose_rel.keys()):
+                    other = self.global_map.keyframes.get(kfid)
+                    if other is not None:
+                        _, info, is_loop = fr.pose_rel[kfid]
+                        fr.pose_rel[kfid] = (
+                            fr.T_cw @ np.linalg.inv(other.T_cw), info,
+                            is_loop)
 
-        # covisibility edges (fast loop-closing mode; :532-567)
-        if len(self.window_frames) >= 2:
-            ref = self.window_frames[-2]
-            first = self.window_frames[0]
-            shell.add_pose_rel(ref.kf_id, shell.T_cw @ np.linalg.inv(ref.T_cw))
-            if first is not ref:
-                shell.add_pose_rel(first.kf_id,
-                                   shell.T_cw @ np.linalg.inv(first.T_cw))
-        for fr in self.window_frames[:-1]:
-            for kfid in list(fr.pose_rel.keys()):
-                other = self.global_map.keyframes.get(kfid)
-                if other is not None:
-                    _, info, is_loop = fr.pose_rel[kfid]
-                    fr.pose_rel[kfid] = (fr.T_cw @ np.linalg.inv(other.T_cw),
-                                         info, is_loop)
+            # ===== marginalize flagged frames =====
+            i = 0
+            with self.timer.stage("kf.marg_frames"):
+                while i < len(self.window_frames):
+                    if self.marg_flags[i]:
+                        self._marginalize_frame_full(i)
+                        i = 0
+                    else:
+                        i += 1
 
-        # ===== marginalize flagged frames =====
-        i = 0
-        with self.timer.stage("kf.marg_frames"):
-            while i < len(self.window_frames):
-                if self.marg_flags[i]:
-                    self._marginalize_frame_full(i)
-                    i = 0
-                else:
-                    i += 1
+            self.global_map.add_keyframe(shell)
+            if self.viewer is not None:
+                self.viewer.publish_keyframes(self.global_map,
+                                              self.window_frames)
 
-        self.global_map.add_keyframe(shell)
-        if self.viewer is not None:
-            self.viewer.publish_keyframes(self.global_map, self.window_frames)
+            # stage next keyframe's immature counts + trace watermark:
+            # dispatch + async pull now, read (already landed) at the next
+            # _flag_frames_for_marginalization / _refresh_trace_lanes
+            from ldso_tpu.utils.transfer import _pad64
+            cts = _pad64(immature.arena_counts_and_watermark(self.imm_arena,
+                                                             self.ef.F))
+            cts.copy_to_host_async()
+            self._imm_counts_async = cts
 
-        # stage next keyframe's immature counts + trace watermark: dispatch
-        # + async pull now, read (already landed) at the next
-        # _flag_frames_for_marginalization / _refresh_trace_lanes
-        from ldso_tpu.utils.transfer import _pad64
-        cts = _pad64(immature.arena_counts_and_watermark(self.imm_arena,
-                                                         self.ef.F))
-        cts.copy_to_host_async()
-        self._imm_counts_async = cts
+            # ===== loop closing (makeKeyFrame :585-589 -> thread) =======
+            if self.loop_closing is not None:
+                # feature depths: every window point projected into the new
+                # KF via the BA's centerProjectedTo (LoopClosing.cc:281-283
+                # reads the same idepth map)
+                W = self.ef.W
+                nf2 = len(self.window_frames)
+                newest = nf2 - 1
+                m = np.asarray(W.pt_valid & W.res_exist[:, newest]
+                               & (W.res_state[:, newest] == RES_IN))
+                cp = np.asarray(W.center_proj[:, newest])
+                # points hosted in the new KF project at their own uv
+                mh = np.asarray(W.pt_valid & (W.pt_host == newest))
+                rows = []
+                if m.any():
+                    rows.append(np.stack([cp[m, 0], cp[m, 1], cp[m, 2]], 1))
+                if mh.any():
+                    rows.append(np.stack([np.asarray(W.pt_u)[mh],
+                                          np.asarray(W.pt_v)[mh],
+                                          np.asarray(W.idepth)[mh]], 1))
+                pui = np.concatenate(rows, 0) if rows else None
+                self.loop_closing.make_kf_record(shell, pyr, pui)
+                window_ids = [f.kf_id for f in self.window_frames]
+                closed = self.loop_closing.insert_keyframe(shell, window_ids)
+                if closed:
+                    self.loop_closing.run_pose_graph_if_needed()
 
-        # ===== loop closing (makeKeyFrame :585-589 -> LoopClosing thread) ====
-        if self.loop_closing is not None:
-            # feature depths: every window point projected into the new KF
-            # via the BA's centerProjectedTo (LoopClosing.cc:281-283 reads
-            # the same idepth map)
-            W = self.ef.W
-            nf = len(self.window_frames)
-            newest = nf - 1
-            m = np.asarray(W.pt_valid & W.res_exist[:, newest]
-                           & (W.res_state[:, newest] == RES_IN))
-            cp = np.asarray(W.center_proj[:, newest])
-            # points hosted in the new KF itself project at their own uv
-            mh = np.asarray(W.pt_valid & (W.pt_host == newest))
-            rows = []
-            if m.any():
-                rows.append(np.stack([cp[m, 0], cp[m, 1], cp[m, 2]], 1))
-            if mh.any():
-                rows.append(np.stack([np.asarray(W.pt_u)[mh],
-                                      np.asarray(W.pt_v)[mh],
-                                      np.asarray(W.idepth)[mh]], 1))
-            pui = np.concatenate(rows, 0) if rows else None
-            self.loop_closing.make_kf_record(shell, pyr, pui)
-            window_ids = [f.kf_id for f in self.window_frames]
-            closed = self.loop_closing.insert_keyframe(shell, window_ids)
-            if closed:
-                self.loop_closing.run_pose_graph_if_needed()
+        def ready() -> bool:
+            """True once every result finish() reads has landed (the point
+            -marginalization packed result is the LAST program in the
+            keyframe's device queue, so its transfer landing implies all
+            earlier ones did)."""
+            try:
+                return bool(marg_handle.is_ready())
+            except Exception:  # noqa: BLE001 — conservatively consumable
+                return True
+
+        finish.ready = ready
+        return finish
 
     def make_non_keyframe(self, shell: FrameShell, pyr: FramePyramid):
         if not getattr(self, "_traced_this_frame", False):

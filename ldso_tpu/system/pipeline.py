@@ -215,6 +215,7 @@ class AsyncPipeline:
         self._chain_dirty = True
         self._slast = None
         self._sprelast = None
+        self._kf_finish = None   # deferred keyframe consume (mapping thread)
         self.thread = None
         # compile the rare-path retrack executables NOW: the gate can trip
         # mid-window, and a first-compile over the relay costs >10 s
@@ -408,25 +409,53 @@ class AsyncPipeline:
             self._chain_dirty = False
 
     # -------------------------------------------------------------- mapping
+    def _finish_kf(self):
+        """Run a deferred keyframe consume (pose sync, tracker-ref publish,
+        frame marginalization, loop closing). Mapping thread only, under
+        _map_lock."""
+        fin = self._kf_finish
+        if fin is None:
+            return
+        self._kf_finish = None
+        with self.fs.timer.stage("pipe.map_kf_finish"):
+            fin()
+
     def _mapping_loop(self):
         fs = self.fs
         while True:
             with self.cond:
                 while not self.unmapped and self.running:
-                    self.cond.wait(timeout=0.1)
+                    fin = self._kf_finish
+                    if fin is not None and fin.ready():
+                        break    # idle and the KF results LANDED: consume
+                    # short poll while a consume is pending (its transfers
+                    # land within ~100 ms); relaxed wait otherwise
+                    self.cond.wait(timeout=0.005 if fin is not None
+                                   else 0.1)
                 if not self.unmapped:
-                    if not self.running:
+                    if self._kf_finish is not None:
+                        item = None            # consume-only iteration
+                    elif not self.running:
                         return
-                    continue
-                shell, pyr = self.unmapped.popleft()
-                if len(self.unmapped) > self.KETCHUP_THRESHOLD:
-                    self.need_ketchup = True
+                    else:
+                        continue
+                else:
+                    item = self.unmapped.popleft()
+                    if len(self.unmapped) > self.KETCHUP_THRESHOLD:
+                        self.need_ketchup = True
                 qlen = len(self.unmapped)
                 self.cond.notify_all()
             try:
                 with self._map_lock:
+                    if item is None:
+                        self._finish_kf()
+                        continue
+                    shell, pyr = item
                     if fs.global_map.num_frames() <= 2:
-                        # guaranteed KFs for the first two tracked frames
+                        # guaranteed KFs for the first two tracked frames;
+                        # synchronous: the num_frames() gate itself depends
+                        # on the consume half having run
+                        self._finish_kf()
                         with fs.timer.stage("pipe.map_kf"):
                             fs.make_keyframe(shell, pyr)
                     elif qlen > 0:
@@ -444,8 +473,13 @@ class AsyncPipeline:
                         newest_id = (fs.window_frames[-1].id
                                      if fs.window_frames else -1)
                         if self.need_new_kf_after >= newest_id:
+                            # the consume half of the PREVIOUS keyframe
+                            # must land before the next dispatch (window
+                            # renumbering, kf_id allocation)
+                            self._finish_kf()
                             with fs.timer.stage("pipe.map_kf"):
-                                fs.make_keyframe(shell, pyr)
+                                self._kf_finish = fs.make_keyframe_dispatch(
+                                    shell, pyr)
                             self.need_ketchup = False
                         else:
                             with fs.timer.stage("pipe.map_nonkf"):
