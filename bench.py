@@ -147,28 +147,12 @@ def _main(result, errors):
         errors.append("diverged in warmup")
         return 0
 
-    # pre-compile the retry-batch tracker (runs only on hard frames; its
+    # pre-compile the retry programs (they run only on hard frames; their
     # first call must not land in the measured region)
-    from ldso_tpu.system.full_system import _motion_hypotheses
-    from ldso_tpu.frontend import tracker
-    tries = _motion_hypotheses(np.eye(4), np.eye(4))
-    if len(tries) > 1 and fs.tracker_ref is not None:
-        from ldso_tpu.ops.preprocess import make_pyramid
-
-        def _precompile_retry():
-            pyr = make_pyramid(jnp.asarray(images[n_warm - 1]),
-                               calib.levels, None)
-            jax.block_until_ready(tracker.track_frame_hypotheses(
-                fs.tracker_ref, pyr,
-                jnp.asarray(np.stack(tries[1:5]), jnp.float32),  # CHUNK=4
-                jnp.zeros(2, jnp.float32), jnp.float32(1.0),
-                jnp.full((calib.levels,), 1e9, jnp.float32),
-                calib, cfg, calib.levels - 1))
-
-        try:
-            _retry(_precompile_retry, label="precompile", errors=errors)
-        except Exception as e:  # noqa: BLE001 — best-effort warmup only
-            errors.append(f"precompile failed: {type(e).__name__}")
+    try:
+        _retry(fs.warm_retrack_programs, label="precompile", errors=errors)
+    except Exception as e:  # noqa: BLE001 — best-effort warmup only
+        errors.append(f"precompile failed: {type(e).__name__}")
 
     # determinism mode: the lookahead driver overlaps each frame's ~30 ms
     # result round-trip with the next frames' dispatches while keeping

@@ -484,3 +484,29 @@ def track_frame_hypotheses(ref: TrackerRef, pyr_new: FramePyramid,
     fn = lambda T0: track_frame(ref, pyr_new, T0, aff_init, new_exposure,
                                 min_res_abort, calib, cfg, coarsest)
     return jax.vmap(fn)(T_inits)
+
+
+@functools.partial(jax.jit, static_argnames=("calib", "cfg", "coarsest"))
+def rank_hypotheses(ref: TrackerRef, pyr_new: FramePyramid, T_inits,
+                    aff_init, new_exposure, calib: Calibration, cfg: Config,
+                    coarsest: int):
+    """Initial coarsest-level mean Huber energy of each motion hypothesis
+    (one warp pass, no LM).
+
+    The reference's sequential retry loop gets this ranking implicitly: a
+    bad initialization blows past achievedRes within its first coarse
+    iterations and aborts (CoarseTracker.cc:114-129, FullSystem.cc:305-311).
+    Under vmap those aborts are dead — lax.cond lowers to select, so every
+    batched hypothesis pays the FULL pyramid LM (~22 ms each). Ranking all
+    hypotheses with one cheap coarsest-level residual pass and LM-refining
+    only the best few restores the reference's effective cost shape on the
+    batch path. T_inits: (M, 4, 4) refToNew initializations. Returns (M,)
+    mean energy; hypotheses with <10 points projecting in-bounds rank inf."""
+    def one(T0):
+        _, stats = _calc_res(ref, pyr_new, coarsest, T0,
+                             jnp.asarray(aff_init, jnp.float32),
+                             new_exposure, cfg.coarse_cutoff_th, calib, cfg,
+                             compute_flow=False)
+        E, num = stats[0], stats[1]
+        return jnp.where(num > 10.0, E / jnp.maximum(num, 1.0), jnp.inf)
+    return jax.vmap(one)(jnp.asarray(T_inits, jnp.float32))

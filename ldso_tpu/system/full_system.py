@@ -411,8 +411,11 @@ def _post_ba_dev(W, marg_frame_targets, flags_dev, newest, prev):
     return W, packed, drop, marg
 
 
+RETRY_K = 8          # retry hypotheses LM-refined after the coarse ranking
+
+
 def _motion_hypotheses(lastF_2_slast, fh_2_slast):
-    """The reference's ~27 retry initializations (FullSystem.cc:189-311).
+    """The reference's 83 retry initializations (FullSystem.cc:189-311).
     Pure host numpy — no device traffic on the per-frame path."""
     from ldso_tpu.math import lie_np
     tries = []
@@ -424,6 +427,9 @@ def _motion_hypotheses(lastF_2_slast, fh_2_slast):
     tries.append(inv(half) @ lastF_2_slast)
     tries.append(lastF_2_slast)
     tries.append(np.eye(4))
+    # three rotation magnitudes: LDSO patched DSO's famous run-once
+    # `rotDelta++` loop into `rotDelta += 0.01` (FullSystem.cc:225-226),
+    # so the reference really sweeps 0.02/0.03/0.04 x 26 axes = 83 tries
     for rot_delta in (0.02, 0.03, 0.04):
         for axes in ((1, 0, 0), (0, 1, 0), (0, 0, 1),
                      (-1, 0, 0), (0, -1, 0), (0, 0, -1),
@@ -875,46 +881,53 @@ class FullSystem:
 
         if not retrack_ok and len(tries) > 1:
             self._n_retry_sweeps = getattr(self, "_n_retry_sweeps", 0) + 1
-            # retries run in fixed-size device chunks, earliest-first: the
-            # reference tries hypotheses sequentially and stops at the first
-            # usable one (FullSystem.cc:189-311) — nearly always within the
-            # first few — so a full 26-wide batch wastes ~8x the device time
-            # of the typical case. Per-level abort at 1.5x the residuals
-            # achieved so far (the running achievedRes threshold).
+            # rank-then-refine: ONE cheap coarsest-level warp ranks all 82
+            # retry initializations (rank_hypotheses), then ONE batched
+            # pyramid-LM program refines the best RETRY_K. The reference's
+            # sequential loop (FullSystem.cc:189-311) achieves the same
+            # cost shape through per-try achievedRes aborts, which are
+            # dead under vmap (lax.cond lowers to select) — a chunked
+            # full-LM sweep measured 22 ms device per hypothesis and
+            # 2.4-6.7 s per gate trip; this path costs two programs and
+            # two pulls (~0.3 s). Per-level abort threshold frozen at what
+            # hypothesis 0 achieved.
             from ldso_tpu.utils.transfer import device_get
-            CHUNK = 4
             rest = tries[1:]
             res_best = res0 if best is not None else np.inf
-            for c0 in range(0, len(rest), CHUNK):
-                chunk = rest[c0:c0 + CHUNK]
-                while len(chunk) < CHUNK:          # pad to one static shape
-                    chunk = chunk + [chunk[-1]]
-                min_abort = jnp.asarray(
-                    np.where(np.isfinite(achieved), achieved, 1e9), jnp.float32)
-                T_batch = jnp.asarray(np.stack(chunk), jnp.float32)
-                with self.timer.stage("track.sweep_dispatch"):
-                    Tb, affb, okb, resb, flowb = \
-                        tracker.track_frame_hypotheses(
-                            tracker_ref, pyr, T_batch, aff0,
-                            jnp.float32(shell.exposure), min_abort, calib,
-                            cfg, coarsest)
-                with self.timer.stage("track.sweep_pull"):
-                    okn = device_get(okb)
-                    resn = np.asarray(resb, np.float64)
-                resn0 = np.where(okn & np.isfinite(resn[:, 0]),
-                                 resn[:, 0], np.inf)
-                k = int(np.argmin(resn0))
-                if np.isfinite(resn0[k]) and resn0[k] < res_best:
-                    best = (Tb[k], affb[k], resb[k], flowb[k])
-                    achieved = resn[k]
-                    res_best = resn0[k]
-                # accept as soon as a hypothesis clears the retrack gate
-                # (trackingIsGood && res < lastRes * reTrackThreshold)
-                if best is not None and (
-                        not np.isfinite(self.last_coarse_rmse[0])
-                        or res_best < self.last_coarse_rmse[0]
-                        * cfg.re_track_threshold):
-                    break
+            min_abort = jnp.asarray(
+                np.where(np.isfinite(achieved), achieved, 1e9), jnp.float32)
+            T_all = jnp.asarray(np.stack(rest), jnp.float32)
+            with self.timer.stage("track.sweep_rank"):
+                scores = np.asarray(tracker.rank_hypotheses(
+                    tracker_ref, pyr, T_all, aff0,
+                    jnp.float32(shell.exposure), calib, cfg, coarsest))
+            order = np.argsort(scores)[:RETRY_K]
+            chunk = [rest[int(i)] for i in order]
+            while len(chunk) < RETRY_K:            # pad to one static shape
+                chunk = chunk + [chunk[-1]]
+            T_batch = jnp.asarray(np.stack(chunk), jnp.float32)
+            with self.timer.stage("track.sweep_dispatch"):
+                Tb, affb, okb, resb, flowb = tracker.track_frame_hypotheses(
+                    tracker_ref, pyr, T_batch, aff0,
+                    jnp.float32(shell.exposure), min_abort, calib,
+                    cfg, coarsest)
+            with self.timer.stage("track.sweep_pull"):
+                # pull the whole tiny batch to host in one go and keep
+                # `best` in numpy: jax-sliced Tb[k] would compile getitem
+                # programs over the relay and the final np.asarray(T)
+                # would block on them (measured: +4.3 s on the first
+                # retrack of a run)
+                okn = device_get(okb)
+                resn = np.asarray(resb, np.float64)
+                Tn = np.asarray(Tb, np.float64)
+                affn = np.asarray(affb, np.float64)
+                flown = np.asarray(flowb, np.float64)
+            resn0 = np.where(okn & np.isfinite(resn[:, 0]),
+                             resn[:, 0], np.inf)
+            k = int(np.argmin(resn0))
+            if np.isfinite(resn0[k]) and resn0[k] < res_best:
+                best = (Tn[k], affn[k], resn[k], flown[k])
+                res_best = resn0[k]
 
         if best is None:
             # total failure: take the predicted pose and hope to recover
@@ -939,11 +952,12 @@ class FullSystem:
         """Compile the pipelined-retrack executables up front.
 
         The retrack path (`_track_new_coarse(commit_trace=False)`) runs
-        only when the gate trips mid-run; its two programs — the no-trace
-        `_frame_step` and the CHUNK-4 `track_frame_hypotheses` — are
-        compiled by nothing else, so the first trip would pay a >10 s
-        relay first-compile inside the measured window. AsyncPipeline
-        calls this at construction; repeat calls are free (jit cache)."""
+        only when the gate trips mid-run; its three programs — the
+        no-trace `_frame_step`, the 82-wide `rank_hypotheses`, and the
+        RETRY_K-wide `track_frame_hypotheses` — are compiled by nothing
+        else, so the first trip would pay a >10 s relay first-compile
+        inside the measured window. AsyncPipeline calls this at
+        construction; repeat calls are free (jit cache)."""
         if getattr(self, "_retrack_warm", False):
             return
         ref, ref_shell = self._tracker_ref_pair
@@ -962,11 +976,17 @@ class FullSystem:
             eye4, jnp.tile(eye4[None], (F, 1, 1)),
             jnp.zeros((F, 2), jnp.float32), jnp.ones((F,), jnp.float32),
             self.b_grad, False, calib, cfg, nlv - 1, n_trace=0)
+        n_rest = len(_motion_hypotheses(np.eye(4), np.eye(4))) - 1
+        scores = tracker.rank_hypotheses(
+            ref, pyr, jnp.tile(eye4[None], (n_rest, 1, 1)),
+            jnp.zeros(2, jnp.float32), jnp.float32(1.0), calib, cfg,
+            nlv - 1)
         out = tracker.track_frame_hypotheses(
-            ref, pyr, jnp.tile(eye4[None], (4, 1, 1)),
+            ref, pyr, jnp.tile(eye4[None], (RETRY_K, 1, 1)),
             jnp.zeros(2, jnp.float32), jnp.float32(1.0),
             jnp.full((nlv,), 1e9, jnp.float32), calib, cfg, nlv - 1)
         np.asarray(packed)
+        np.asarray(scores)
         np.asarray(out[0])   # real pulls: block_until_ready lies over relays
         self._retrack_warm = True
 

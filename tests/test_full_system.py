@@ -92,6 +92,47 @@ class TestFullSystemVO:
         assert 0 < len(kf_p) < len(all_p)
         assert fs.global_map.num_frames() == len(kf_p)
 
+    def test_retry_sweep_recovers_pose(self):
+        """Force the retrack gate (an impossibly good last RMSE) and check
+        the rank-then-refine sweep still lands on an accurate pose."""
+        from ldso_tpu.slam_map import FrameShell
+        cfg = Config(max_points=1024, max_immature=1024,
+                     tracker_caps=(8192, 4096, 2048, 1024, 512, 256),
+                     desired_point_density=500, desired_immature_density=400)
+        calib = default_calib(256, 192)
+        scene = PlaneScene(freq_hi=25.0, contrast=80.0)
+        N = 20
+        poses = _make_sequence(N + 1, calib, scene)
+        fs = FullSystem(calib, cfg)
+        for i in range(N):
+            img, _ = scene.render(calib, jnp.asarray(poses[i], jnp.float32))
+            fs.add_active_frame(np.asarray(img), i, 1.0, i * 0.05)
+            assert not fs.is_lost and not fs.init_failed
+        img, _ = scene.render(calib, jnp.asarray(poses[N], jnp.float32))
+        fs.last_coarse_rmse = np.full_like(
+            np.asarray(fs.last_coarse_rmse, np.float64), 1e-9)
+        sweeps0 = getattr(fs, "_n_retry_sweeps", 0)
+        sh = FrameShell(id=N, timestamp=N * 0.05, exposure=1.0)
+        fs.all_frames.append(sh)
+        ok = fs._track_new_coarse(sh, np.asarray(img), commit_trace=False,
+                                  neighbors=(fs.all_frames[-2],
+                                             fs.all_frames[-3]))
+        assert ok
+        assert getattr(fs, "_n_retry_sweeps", 0) == sweeps0 + 1
+        # the swept pose must agree with the constant-velocity prediction
+        # in the system's own (mono, scale-ambiguous) frame: this easy
+        # trajectory is near-constant-velocity, so the residual motion
+        # should be a small fraction of one frame's motion
+        slast, sprelast = fs.all_frames[-2], fs.all_frames[-3]
+        M = slast.T_cw @ np.linalg.inv(sprelast.T_cw)
+        T_pred = M @ slast.T_cw
+        from ldso_tpu.math import lie_np
+        resid = np.linalg.norm(lie_np.se3_log(
+            np.linalg.inv(T_pred) @ sh.T_cw))
+        step = np.linalg.norm(lie_np.se3_log(M))
+        assert resid < 0.5 * step + 0.01, (
+            f"swept pose {resid:.4f} vs frame step {step:.4f}")
+
 
 if __name__ == "__main__":
     pytest.main([__file__, "-q", "-x"])

@@ -173,6 +173,28 @@ class TestTracking:
             np.linalg.inv(np.asarray(T_true)) @ np.asarray(T[best]), jnp.float64)))
         assert np.linalg.norm(err) < 5e-3
 
+    def test_rank_hypotheses(self):
+        """The coarse ranking pre-pass scores the near-true initialization
+        best and an off-image one inf."""
+        calib, scene, ref = _setup()
+        xi_true = jnp.array([0.06, 0.0, 0.0, 0.0, 0.03, 0.0], jnp.float32)
+        T_true = lie.se3_exp(xi_true)
+        img1, _ = scene.render(calib, T_true)
+        pyr1 = make_pyramid(img1, calib.levels)
+        inits = jnp.stack([
+            lie.se3_exp(jnp.array([0.055, 0, 0, 0, 0.028, 0], jnp.float32)),
+            jnp.eye(4, dtype=jnp.float32),
+            lie.se3_exp(jnp.array([0.4, 0.3, 0, 0.5, 0.5, 0], jnp.float32)),
+            lie.se3_exp(jnp.array([0, 0, -50.0, 0, 0, 0], jnp.float32)),
+        ])
+        scores = np.asarray(tracker.rank_hypotheses(
+            ref, pyr1, inits, jnp.zeros(2, jnp.float32), jnp.float32(1.0),
+            calib, CFG, calib.levels - 1))
+        assert scores.shape == (4,)
+        assert int(np.argmin(scores)) == 0
+        assert scores[0] < scores[1]
+        assert np.isinf(scores[3])          # behind/off the image
+
 
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])
