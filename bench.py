@@ -183,8 +183,9 @@ def _main(result, errors):
     # like the reference's catch-up logic -----------------------------------
     from ldso_tpu.system.pipeline import AsyncPipeline
     n_pw = n_meas                 # frames per measured pipelined window
-    n_piped = 3 * n_pw
-    more = []
+    n_pipe_warm = 16              # unmeasured: compiles the pipelined-only
+    n_piped = n_pipe_warm + 3 * n_pw   # executables (batched ingest chain,
+    more = []                     # keyframe dispatch/finish split)
     for i in range(N, N + n_piped):
         t = np.array([0.03 * i, 0.01 * np.sin(0.2 * i), 0.004 * i])
         w = np.array([0.0, 0.0018 * i, 0.0004 * i])
@@ -192,6 +193,18 @@ def _main(result, errors):
         poses.append(np.linalg.inv(T_wc))
         img, _ = scene.render(calib, jnp.asarray(poses[-1], jnp.float32))
         more.append(_quant8(img))
+    try:
+        pipe = AsyncPipeline(fs)
+        _drive(pipe, more[:n_pipe_warm], range(N, N + n_pipe_warm),
+               errors, "pipewarm")
+        _retry(pipe.block_until_mapping_is_finished,
+               label="pipewarm:drain", errors=errors)
+    except Exception as e:  # noqa: BLE001 — warm-only
+        if not _is_transient(e):
+            raise
+        errors.append(f"pipe warm window aborted: {type(e).__name__}")
+    more = more[n_pipe_warm:]
+    N += n_pipe_warm
     piped_windows = []
     baseline_fps = 18.5
     for wk in range(3):
@@ -220,10 +233,12 @@ def _main(result, errors):
     # sanity: trajectory quality (similarity-aligned ATE) over the
     # synchronous portion (the pipelined extension drops frames
     # nondeterministically under load, exactly like the reference)
+    N_sync = N - n_pipe_warm      # ATE over the synchronous region only
     try:
-        est_ids = [f.id for f in fs.all_frames if f.pose_valid and f.id < N]
+        est_ids = [f.id for f in fs.all_frames
+                   if f.pose_valid and f.id < N_sync]
         est = [f.T_cw.copy() for f in fs.all_frames
-               if f.pose_valid and f.id < N]
+               if f.pose_valid and f.id < N_sync]
         gt = [poses[i] for i in est_ids]
         est_c = np.stack([np.linalg.inv(T)[:3, 3] for T in est])
         gt_c = np.stack([np.linalg.inv(T)[:3, 3] for T in gt])
@@ -341,16 +356,33 @@ def _bench_utilization(fs, calib, cfg):
     n_tr = fs._trace_lanes
 
     def costs(jitted, *args, **kw):
+        """(FLOPs, min HBM bytes, XLA cost-model bytes).
+
+        min bytes = unique input+output buffer sizes (every program must
+        at least read its operands and write its results once); the XLA
+        cost model's "bytes accessed" counts each gather as a full-operand
+        read, so it overstates real HBM traffic by 10-100x on these
+        gather-heavy programs (r4 fix: the raw number printed >200% of
+        HBM peak)."""
         c = jitted.lower(*args, **kw).compile().cost_analysis()
         c = c[0] if isinstance(c, list) else c
-        return float(c.get("flops", 0.0)), float(c.get("bytes accessed", 0.0))
+        leaves = jax.tree_util.tree_leaves((args, kw))
+        io = sum(x.size * x.dtype.itemsize for x in leaves
+                 if hasattr(x, "dtype"))
+        out_sh = jax.eval_shape(jitted, *args, **kw)
+        io += sum(x.size * np.dtype(x.dtype).itemsize
+                  for x in jax.tree_util.tree_leaves(out_sh))
+        return (float(c.get("flops", 0.0)), float(io),
+                float(c.get("bytes accessed", 0.0)))
 
-    def record(name, t_ms, flops, bts):
+    def record(name, t_ms, flops, io_bytes, xla_bytes):
         out[name] = dict(
             ms=round(t_ms, 2), gflop=round(flops / 1e9, 2),
             mxu_pct=round(100.0 * flops / (t_ms * 1e-3) / _V5E_PEAK_FLOPS, 2),
-            gbps=round(bts / (t_ms * 1e-3) / 1e9, 1),
-            hbm_pct=round(100.0 * (bts / (t_ms * 1e-3)) / _V5E_HBM_BPS, 1))
+            io_gb=round(io_bytes / 1e9, 3),
+            hbm_pct_min=round(
+                100.0 * (io_bytes / (t_ms * 1e-3)) / _V5E_HBM_BPS, 1),
+            xla_cost_gb=round(xla_bytes / 1e9, 2))
 
     # 1. the production per-frame chain program (pyramid + tracking LM)
     def frame_step(c):
@@ -364,11 +396,11 @@ def _bench_utilization(fs, calib, cfg):
     t = _chain_slope(frame_step, fs.track_chain,
                      lambda c: np.asarray(c.T_slast))
     T0, aff0, rmse = fsm._chain_prep(fs.track_chain, T_ref)
-    fl, bt = costs(fsm._frame_step, img_dev, fs.imm_arena, ref, T0, aff0,
+    fl, io, bt = costs(fsm._frame_step, img_dev, fs.imm_arena, ref, T0, aff0,
                    jnp.float32(1.0), rmse, T_ref, *dummies, fs.b_grad,
                    enable_trace=False, calib=calib, cfg=cfg,
                    coarsest=calib.levels - 1, n_trace=n_tr)
-    record("frame_step(track)", t, fl, bt)
+    record("frame_step(track)", t, fl, io, bt)
 
     # 2. the epipolar trace at the production lane bucket
     pyr_t = make_pyramid(img_dev, calib.levels, fs.b_grad)
@@ -382,9 +414,9 @@ def _bench_utilization(fs, calib, cfg):
 
     t = _chain_slope(trace_step, (fs.imm_arena,),
                      lambda c: np.asarray(c[0].pool.u[:1]))
-    fl, bt = costs(immature.trace_arena_sized, fs.imm_arena, pyr_t.dI[0],
+    fl, io, bt = costs(immature.trace_arena_sized, fs.imm_arena, pyr_t.dI[0],
                    KRKis, Kts, affs, calib=calib, cfg=cfg, n=n_tr)
-    record(f"trace({n_tr} lanes)", t, fl, bt)
+    record(f"trace({n_tr} lanes)", t, fl, io, bt)
 
     # 3. the whole windowed-BA LM device program
     from ldso_tpu.backend import ba_device
@@ -409,10 +441,10 @@ def _bench_utilization(fs, calib, cfg):
     t = _chain_slope(ba_step, (fs.ef.W,),
                      lambda c: np.asarray(c[0].state[:1]), n1=2, n2=12)
     try:
-        fl, bt = costs(ba_device.optimize_device, fs.ef.W, dIs, HMj, bMj,
+        fl, io, bt = costs(ba_device.optimize_device, fs.ef.W, dIs, HMj, bMj,
                        jnp.int32(nf - 1), cfg=cfg, img_w=calib.w[0],
                        img_h=calib.h[0], max_iterations=cfg.max_opt_iterations)
-        record("ba_lm", t, fl, bt)
+        record("ba_lm", t, fl, io, bt)
     except Exception:  # noqa: BLE001 — keep the timing even without flops
         out["ba_lm"] = dict(ms=round(t, 2))
     return out

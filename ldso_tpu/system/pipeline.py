@@ -37,21 +37,47 @@ import numpy as np
 from ldso_tpu.system.full_system import FullSystem
 
 
+def _pyr_row(pyrs, row):
+    """Slice one frame's pyramid out of a batched dispatch as ONE program."""
+    global _pyr_row_jit
+    if _pyr_row_jit is None:
+        import jax
+        _pyr_row_jit = jax.jit(
+            lambda ps, r: jax.tree_util.tree_map(lambda x: x[r], ps))
+    return _pyr_row_jit(pyrs, row)
+
+
+_pyr_row_jit = None
+
+
 class _PackedGroup:
     """One ingest batch's packed tracking results: a single (B, P) device
-    transfer shared by B per-frame pending entries."""
-    __slots__ = ("h", "_np")
+    transfer shared by B per-frame pending entries.
 
-    def __init__(self, h):
+    When a downloader pool is given, the host pull starts IMMEDIATELY on
+    that thread: over the relay `is_ready()` never reports true and even a
+    `copy_to_host_async`-backed pull costs a full ~30 ms round-trip when
+    issued from the consuming thread (BASELINE.md tunnel constants), so
+    prefetching is the only way the tracking thread sees landed data."""
+    __slots__ = ("h", "_np", "_fut")
+
+    def __init__(self, h, pool=None):
         self.h = h
         self._np = None
+        self._fut = pool.submit(np.asarray, h, np.float64) \
+            if pool is not None else None
 
     def is_ready(self) -> bool:
-        return self._np is not None or self.h.is_ready()
+        if self._np is not None:
+            return True
+        if self._fut is not None:
+            return self._fut.done()
+        return self.h.is_ready()
 
     def rows(self) -> np.ndarray:
         if self._np is None:
-            self._np = np.asarray(self.h, np.float64)
+            self._np = (self._fut.result() if self._fut is not None
+                        else np.asarray(self.h, np.float64))
         return self._np
 
 
@@ -80,6 +106,21 @@ class DeterministicPipeline:
         self.pending = collections.deque()   # (shell, image, pyr, packed, ref_shell)
         self._slast = None
         self._sprelast = None
+        self._dl_pool = None                 # lazy ThreadPoolExecutor(1)
+
+    def _prefetch(self, packed):
+        """Start the packed result's host pull on the downloader thread the
+        moment it is dispatched: over the relay a pull issued from the
+        consuming thread costs the full ~30 ms round-trip even after
+        copy_to_host_async (see _PackedGroup), which would serialize one
+        round-trip per frame into the sync loop. Prefetched, the pull
+        overlaps the next `depth` frames' dispatches. Determinism is
+        unaffected: values and consume order are identical."""
+        if self._dl_pool is None:
+            from concurrent.futures import ThreadPoolExecutor
+            self._dl_pool = ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="ldso-sync-dl")
+        return _PackedGroup(packed, self._dl_pool)
 
     def add_active_frame(self, image, frame_id, exposure=1.0, timestamp=0.0):
         fs = self.fs
@@ -96,7 +137,8 @@ class DeterministicPipeline:
         shell.pose_valid = False            # until consumed, in order
         fs.all_frames.append(shell)
         pyr, packed, ref_shell = fs.track_chain_dispatch(shell, image)
-        self.pending.append((shell, image, pyr, packed, ref_shell))
+        self.pending.append((shell, image, pyr, self._prefetch(packed),
+                             ref_shell))
         # consume on a FIXED cadence (exactly one once the window is full),
         # never opportunistically by transfer readiness: which frames get
         # device-continued vs host-reset chain state must be a pure
@@ -125,12 +167,15 @@ class DeterministicPipeline:
         fs.chain_reset()
         for shell, image, _, _, _ in old:
             pyr, packed, ref_shell = fs.track_chain_dispatch(shell, image)
-            self.pending.append((shell, image, pyr, packed, ref_shell))
+            self.pending.append((shell, image, pyr, self._prefetch(packed),
+                                 ref_shell))
 
     def _consume_one(self):
         fs = self.fs
         if self.pending:
             shell, image, pyr, packed, ref_shell = self.pending.popleft()
+            if type(packed) is _PackedGroup:
+                packed = packed.rows()
             if fs.track_chain_consume(shell, packed, ref_shell):
                 shell.pose_valid = True
             else:
@@ -211,6 +256,7 @@ class AsyncPipeline:
         # thread's consume waits. Futures resolve IN ORDER (1 worker), so
         # chain dispatch order is preserved.
         self._upload_pool = None             # lazy ThreadPoolExecutor(1)
+        self._dl_pool = None                 # lazy ThreadPoolExecutor(1)
         self._upl_q = collections.deque()    # (staged list, future(batch))
         self._chain_dirty = True
         self._slast = None
@@ -317,7 +363,11 @@ class AsyncPipeline:
                 shells = [sh for sh, _ in staged]
                 pyrs, packed_all, ref_shell = fs.track_chain_dispatch_batch(
                     shells, batch)
-                grp = _PackedGroup(packed_all)
+                if self._dl_pool is None:
+                    from concurrent.futures import ThreadPoolExecutor
+                    self._dl_pool = ThreadPoolExecutor(
+                        max_workers=1, thread_name_prefix="ldso-download")
+                grp = _PackedGroup(packed_all, self._dl_pool)
                 for k, (shell, image) in enumerate(staged):
                     self.pending.append((shell, image, (pyrs, k),
                                          (grp, k), ref_shell))
@@ -385,11 +435,13 @@ class AsyncPipeline:
             self._sprelast, self._slast = self._slast, shell
             need_kf = fs._keyframe_decision(shell, ref=ref_shell)
             # slice this frame's pyramid out of a batched dispatch (plain
-            # tuple; FramePyramid itself is a NamedTuple, so match exactly)
+            # tuple; FramePyramid itself is a NamedTuple, so match exactly).
+            # One jitted program (row traced): an eager tree_map getitem is
+            # ~a dozen separate dispatches, several ms of host CPU per frame
+            # on this single-core box
             if type(pyr) is tuple:
-                import jax
                 pyrs, row = pyr
-                pyr = jax.tree_util.tree_map(lambda x: x[row], pyrs)
+                pyr = _pyr_row(pyrs, np.int32(row))
             with self.cond:
                 while len(self.unmapped) >= self.max_queue and self.running:
                     with fs.timer.stage("pipe.backpressure"):
