@@ -218,22 +218,25 @@ class AsyncPipeline:
     # max in-flight chain-dispatched frames. Consuming frame i's packed
     # result can only be as fast as the device finishing frame i's
     # programs plus the result's relay transit (~30-60 ms end to end);
-    # depth 8 gives each consume ~8 frame-intervals of slack so the
-    # tracking thread waits on device THROUGHPUT, not latency. Frames in
-    # flight track against the dispatch-time reference — the same
+    # depth 12 (1.5 ingest batches) gives each consume that much slack so
+    # the tracking thread waits on device THROUGHPUT, not latency. Frames
+    # in flight track against the dispatch-time reference — the same
     # staleness the reference's double-buffered coarseTracker swap allows
     # under mapping load (FullSystem.cc:104-111); the retrack gate catches
-    # the rare failure.
-    CHAIN_DEPTH = 8
+    # the rare failure. (Depth 16 measured: stale-ref gate trips at every
+    # keyframe once the ref publish lags — keep depth <= 1.5 batches.)
+    CHAIN_DEPTH = 12
 
     # frames per host->device upload: the tunnel charges a ~8 ms fixed
     # overhead per transfer message on top of bandwidth (measured: one
     # 0.3 MB uint8 frame 11.2 ms, one 1.2 MB message 20 ms), so staging
-    # a few frames into ONE upload costs ~5 ms/frame instead of ~11.
+    # frames into ONE upload costs ~4 ms/frame instead of ~11 (an 8-frame
+    # 2.4 MB message amortizes the fixed cost to ~1 ms/frame; the r5
+    # IB=8 A/B measured window-0 101.9 fps vs 86.6 at IB=4).
     # Adds up to INGEST_BATCH-1 frames of latency on the tracked-pose
     # stream — the same class of tradeoff as the reference's mapping
     # queue. 1 disables staging.
-    INGEST_BATCH = 4
+    INGEST_BATCH = 8
 
     def __init__(self, fs: FullSystem, linearize_operation: bool = False,
                  max_queue: Optional[int] = None):
@@ -406,6 +409,16 @@ class AsyncPipeline:
                     packed = grp.rows()[row]
                 consumed = fs.track_chain_consume(shell, packed, ref_shell)
             if not consumed:
+                import os
+                if os.environ.get("LDSO_TPU_DEBUG_TRIPS"):
+                    pk = np.asarray(packed, np.float64) if not isinstance(
+                        packed, np.ndarray) else packed
+                    cur = fs._tracker_ref_pair[1]
+                    print(f"[trip] frame={shell.id} res0={pk[20]:.3f} "
+                          f"ok={pk[18]} last_rmse={fs.last_coarse_rmse[0]:.3f} "
+                          f"dispatch_ref={ref_shell.id} "
+                          f"current_ref={cur.id if cur else '?'}",
+                          flush=True)
                 # gate tripped: host retry sweep against the CURRENT ref
                 # (the reference also retracks against the newest KF,
                 # FullSystem.cc:104-123); the device chain continued from
@@ -502,6 +515,17 @@ class AsyncPipeline:
                     if item is None:
                         self._finish_kf()
                         continue
+                    # a ready keyframe-finish publishes the new tracking
+                    # reference: consume it BEFORE mapping more frames.
+                    # Deferring it while the queue stays busy lets the
+                    # tracking thread run tens of frames against a stale
+                    # ref (measured: dispatch_ref 67 frames behind ->
+                    # retrack-gate trips at ~600 ms each); the reference
+                    # bounds the same staleness with its one-deep
+                    # coarseTracker_forNewKF swap (FullSystem.cc:104-111)
+                    fin = self._kf_finish
+                    if fin is not None and fin.ready():
+                        self._finish_kf()
                     shell, pyr = item
                     if fs.global_map.num_frames() <= 2:
                         # guaranteed KFs for the first two tracked frames;
