@@ -288,6 +288,160 @@ def linearize_all(W: Window, dIs: jax.Array, cfg: Config,
     return W, energy_sum
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "img_w", "img_h"))
+def linearize_target(W: Window, dIs: jax.Array, cfg: Config,
+                     img_w: int, img_h: int, tgt: jax.Array):
+    """`linearize_all` restricted to ONE target column (residuals whose
+    target frame is `tgt`, traced index).
+
+    Used for the post-LM final relinearization after re-fixing the newest
+    frame's evaluation point (FullSystem.cc:833-846 + linearizeAll(true)):
+    only pairs involving the newest frame see changed FEJ quantities, and
+    no points are hosted in the newest frame at that stage, so the
+    newest-target column is the complete changed set — residuals of other
+    columns are bit-identical to the LM loop's last evaluation (same
+    state, same precalc entries). Keeps the reference's sticky-OOB
+    semantics (Residuals.cc:17-21: linearize early-outs OOB residuals
+    without reset). Cuts the (P,F,8) gather lattice to (P,8) — the final
+    relinearize was a third of the whole-BA device program's time.
+
+    Returns (W', energy_sum) where energy_sum spans the FULL residual
+    lattice (old columns' res_new_energy are still current), matching
+    linearize_all's return for the RMSE bookkeeping."""
+    P, F = W.P, W.F
+    pc = make_precalc(W)
+    fx, fy, cx, cy = pc.fxycxy[0], pc.fxycxy[1], pc.fxycxy[2], pc.fxycxy[3]
+    wM3 = img_w - 3.0
+    hM3 = img_h - 3.0
+
+    col = lambda a: jnp.take(a, tgt, axis=1)        # (P, F, ...) -> (P, ...)
+    lin_mask = (col(W.res_exist) & W.pt_valid & ~col(W.res_linearized)
+                & W.frame_valid[tgt])
+    prev_oob = col(W.res_state) == RES_OOB
+
+    h = W.pt_host                                    # (P,)
+    R0 = pc.R0[h, tgt]                               # (P,3,3)
+    t0 = pc.t0[h, tgt]
+    KRKi = pc.KRKi[h, tgt]
+    Kt = pc.Kt[h, tgt]
+    affLL = pc.aff[h, tgt]                           # (P,2)
+    b0 = pc.b0[h]                                    # (P,)
+
+    # center projection at the FEJ point
+    KliP = jnp.stack([(W.pt_u - cx) / fx, (W.pt_v - cy) / fy,
+                      jnp.ones_like(W.pt_u)], axis=-1)          # (P,3)
+    ptp0 = jnp.einsum("pij,pj->pi", R0, KliP) + t0 * W.idepth_zero[:, None]
+    drescale = 1.0 / ptp0[..., 2]
+    new_idepth = W.idepth_zero * drescale
+    u = ptp0[..., 0] * drescale
+    v = ptp0[..., 1] * drescale
+    Ku_c = u * fx + cx
+    Kv_c = v * fy + cy
+    center_ok = (drescale > 0) & (Ku_c > 1.1) & (Kv_c > 1.1) & (Ku_c < wM3) & (Kv_c < hM3)
+
+    d_d_x = drescale * (t0[..., 0] - t0[..., 2] * u) * SCALE_IDEPTH * fx
+    d_d_y = drescale * (t0[..., 1] - t0[..., 2] * v) * SCALE_IDEPTH * fy
+
+    dCx2 = drescale * (R0[..., 2, 0] * u - R0[..., 0, 0])
+    dCx3 = fx * drescale * (R0[..., 2, 1] * u - R0[..., 0, 1]) / fy
+    dCx0 = (KliP[:, 0] * dCx2 + u) * SCALE_F
+    dCx1 = (KliP[:, 1] * dCx3) * SCALE_F
+    dCx2 = (dCx2 + 1.0) * SCALE_C
+    dCx3 = dCx3 * SCALE_C
+    dCy2 = fy * drescale * (R0[..., 2, 0] * v - R0[..., 1, 0]) / fx
+    dCy3 = drescale * (R0[..., 2, 1] * v - R0[..., 1, 1])
+    dCy0 = (KliP[:, 0] * dCy2) * SCALE_F
+    dCy1 = (KliP[:, 1] * dCy3 + v) * SCALE_F
+    dCy2 = dCy2 * SCALE_C
+    dCy3 = (dCy3 + 1.0) * SCALE_C
+    Jpdc = jnp.stack([jnp.stack([dCx0, dCx1, dCx2, dCx3], -1),
+                      jnp.stack([dCy0, dCy1, dCy2, dCy3], -1)], axis=-2)  # (P,2,4)
+
+    one = jnp.ones_like(u)
+    Jxi_x = jnp.stack([new_idepth * fx, 0 * one, -new_idepth * u * fx,
+                       -u * v * fx, (1 + u * u) * fx, -v * fx], -1)
+    Jxi_y = jnp.stack([0 * one, new_idepth * fy, -new_idepth * v * fy,
+                       -(1 + v * v) * fy, u * v * fy, u * fy], -1)
+    Jpdxi = jnp.stack([Jxi_x, Jxi_y], axis=-2)                # (P,2,6)
+    Jpdd = jnp.stack([d_d_x, d_d_y], axis=-1)                 # (P,2)
+    center_proj = jnp.stack([Ku_c, Kv_c, new_idepth], -1)
+
+    # pattern projections at the CURRENT state
+    patt = jnp.asarray(PATTERN, jnp.float32)
+    uP = W.pt_u[:, None] + patt[None, :, 0]                   # (P,8)
+    vP = W.pt_v[:, None] + patt[None, :, 1]
+    pk = jnp.stack([uP, vP, jnp.ones_like(uP)], axis=-1)      # (P,8,3)
+    ptp = jnp.einsum("pij,pkj->pki", KRKi, pk) + Kt[:, None, :] * W.idepth[:, None, None]
+    Ku = ptp[..., 0] / ptp[..., 2]
+    Kv = ptp[..., 1] / ptp[..., 2]
+    patt_ok = (Ku > 1.1) & (Kv > 1.1) & (Ku < wM3) & (Kv < hM3)
+
+    packed = dIs.shape[-1] == 12
+    tgt_b = jnp.broadcast_to(tgt, Ku.shape)
+    if jax.default_backend() == "tpu":
+        Ku, Kv = jax.lax.optimization_barrier((Ku, Kv))
+        hit = (bilinear_packed_frames(dIs, tgt_b, Ku, Kv, 3) if packed
+               else _bilinear_frames(dIs, tgt_b, Ku, Kv))     # (P,8,3)
+        hit = jax.lax.optimization_barrier(hit)
+    else:
+        hit = (bilinear_packed_frames(dIs, tgt_b, Ku, Kv, 3) if packed
+               else _bilinear_frames(dIs, tgt_b, Ku, Kv))     # (P,8,3)
+    finite = jnp.isfinite(hit[..., 0])
+    oob = prev_oob | ~center_ok | ~jnp.all(patt_ok & finite, axis=-1)
+
+    resid = hit[..., 0] - (affLL[..., 0:1] * W.pt_color + affLL[..., 1:2])
+    drdA = W.pt_color - b0[:, None]
+    gsq = hit[..., 1] ** 2 + hit[..., 2] ** 2
+    wg = jnp.sqrt(cfg.outlier_th_sum_component / (cfg.outlier_th_sum_component + gsq))
+    wgt = 0.5 * (wg + W.pt_weights)
+    ar = jnp.abs(resid)
+    hw_e = jnp.where(ar < cfg.huber_th, 1.0, cfg.huber_th / jnp.maximum(ar, 1e-12))
+    energy = jnp.sum(wgt * wgt * hw_e * resid * resid * (2.0 - hw_e), axis=-1)
+
+    hw = jnp.where(hw_e < 1.0, jnp.sqrt(hw_e), hw_e) * wgt
+    JIdx = jnp.stack([hit[..., 1] * hw, hit[..., 2] * hw], axis=-2)  # (P,2,8)
+    Jab0 = drdA * hw
+    Jab1 = hw
+    if cfg.affine_opt_mode_a < 0:
+        Jab0 = jnp.zeros_like(Jab0)
+    if cfg.affine_opt_mode_b < 0:
+        Jab1 = jnp.zeros_like(Jab1)
+    JabF = jnp.stack([Jab0, Jab1], axis=-2)
+    resF = resid * hw
+    wJI2 = jnp.sum(hw * hw * gsq, axis=-1)
+
+    th = jnp.maximum(W.frame_energy_th[W.pt_host], W.frame_energy_th[tgt])
+    is_outlier = (energy > th) | (wJI2 < 2.0)
+    new_energy = jnp.where(is_outlier, th, energy)
+
+    new_state = jnp.where(oob, RES_OOB,
+                          jnp.where(is_outlier, RES_OUTLIER, RES_IN))
+    new_energy = jnp.where(oob, col(W.res_energy), new_energy)
+    new_energy_wo = jnp.where(oob, -1.0, energy)
+
+    apply = lin_mask
+
+    def put(field, upd):
+        m = apply.reshape((P,) + (1,) * (upd.ndim - 1))
+        merged = jnp.where(m, upd, col(field))
+        return jax.lax.dynamic_update_slice_in_dim(
+            field, merged[:, None], tgt, axis=1)
+
+    W = W._replace(
+        Jpdxi=put(W.Jpdxi, Jpdxi), Jpdc=put(W.Jpdc, Jpdc),
+        Jpdd=put(W.Jpdd, Jpdd), JIdx=put(W.JIdx, JIdx),
+        JabF=put(W.JabF, JabF), resF=put(W.resF, resF),
+        center_proj=put(W.center_proj, center_proj),
+        res_new_state=put(W.res_new_state, new_state),
+        res_new_energy=put(W.res_new_energy, new_energy),
+        res_new_energy_wo=put(W.res_new_energy_wo, new_energy_wo),
+    )
+    full_mask = (W.res_exist & W.pt_valid[:, None] & ~W.res_linearized
+                 & W.frame_valid[None, :])
+    energy_sum = jnp.sum(jnp.where(full_mask, W.res_new_energy, 0.0))
+    return W, energy_sum
+
+
 @jax.jit
 def apply_res(W: Window) -> Window:
     """Commit NewState for the active (non-linearized) residual set

@@ -188,8 +188,14 @@ def optimize_device(W: Window, dIs: jax.Array, HM: jax.Array, bM: jax.Array,
         state_zero=W.state_zero.at[newest].set(new_zero),
     )
 
-    W = _reset_oob_dev(W)
-    W, eP = ba.linearize_all(W, dIs, cfg, img_w, img_h)
+    if cfg.ba_finalize_sliced:
+        # only the newest-target column changed (the eval-point re-fix
+        # touches no other pair); sticky OOB like the reference's final
+        # linearizeAll(true) — see ba.linearize_target
+        W, eP = ba.linearize_target(W, dIs, cfg, img_w, img_h, newest)
+    else:
+        W = _reset_oob_dev(W)
+        W, eP = ba.linearize_all(W, dIs, cfg, img_w, img_h)
     W = ba.set_new_frame_energy_th(W, newest, cfg)
 
     # finalize: commit + per-point stats + drop dead residuals

@@ -119,6 +119,13 @@ class Config:
     # the f64 HM/bM + f64 scaled-LDLT solve (EnergyFunctional.cc:324-337
     # double semantics) — the ATE-ablation / parity-debug mode.
     ba_device_lm: bool = True
+    # the post-LM final relinearization (after re-fixing the newest frame's
+    # evaluation point, FullSystem.cc:833-846) touches only residuals
+    # targeting the newest frame — relinearize just that column (ba.
+    # linearize_target; also keeps the reference's sticky-OOB semantics,
+    # Residuals.cc:17-21, which the full-lattice path reset). False =
+    # full-lattice finalize with OOB reset (pre-r5 behavior, ablation).
+    ba_finalize_sliced: bool = True
 
     # --- priors (Setting.cc:16-22) ------------------------------------------
     idepth_fix_prior: float = 50.0 * 50.0

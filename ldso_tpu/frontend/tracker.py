@@ -389,7 +389,14 @@ def _level_block(ref, pyr_new, lvl, state, new_exposure, min_res_abort,
                done=jnp.asarray(False))
     lm = jax.lax.while_loop(lm_cond, lm_body, lm0)
 
-    rms = jnp.sqrt(lm["stats"][0] / jnp.maximum(lm["stats"][1], 1.0))
+    # zero surviving terms => inf, not 0: the reference's sqrt(E/n) is NaN
+    # at n == 0 and fails its isfinite gate (FullSystem.cc:117-123); the
+    # max(n,1) guard here silently turned total-overlap-loss into a
+    # PERFECT score, which then poisoned the pipelined retrack gate's
+    # lastRes (res0 < 0 is unsatisfiable -> every later frame trips)
+    rms = jnp.where(lm["stats"][1] > 0,
+                    jnp.sqrt(lm["stats"][0] / jnp.maximum(lm["stats"][1], 1.0)),
+                    jnp.inf)
     last_res = last_res.at[lvl].set(rms)
     flow = lm["stats"][2:5]
     ok_flag = ok_flag & (rms <= 1.5 * min_res_abort[lvl])

@@ -59,6 +59,7 @@ class LoopClosing:
         self._pending_train: list = []
         self.key = jax.random.PRNGKey(cfg.seed)
         self.n_loops_closed = 0
+        self.loop_pairs: list = []      # (kf_id, candidate_kf_id) per close
         self.need_pose_graph = False
 
     # ---------------------------------------------------------------- records
@@ -151,6 +152,10 @@ class LoopClosing:
         if ok:
             self.n_loops_closed += 1
             self.need_pose_graph = True
+            self.loop_pairs.append((kf.kf_id, cand.kf_id))
+            # same shape as the reference's "Loop detected from kf X to Y"
+            # (LoopClosing.cc) so harnesses can diff the pair lists
+            print(f"loop closed: kf {kf.kf_id} -> {cand.kf_id}", flush=True)
         return ok
 
     def run_pose_graph_if_needed(self):

@@ -414,6 +414,16 @@ def _post_ba_dev(W, marg_frame_targets, flags_dev, newest, prev):
 RETRY_K = 8          # retry hypotheses LM-refined after the coarse ranking
 
 
+@jax.jit
+def _pack_hypothesis_results(Tb, affb, okb, resb, flowb):
+    """Pack the retry sweep's five per-hypothesis outputs into ONE (B, 21+L)
+    array so the host retrieves them in a single relay round-trip."""
+    B = Tb.shape[0]
+    return jnp.concatenate([
+        Tb.reshape(B, 16), affb, okb.astype(jnp.float32)[:, None],
+        resb, flowb], axis=1)
+
+
 def _motion_hypotheses(lastF_2_slast, fh_2_slast):
     """The reference's 83 retry initializations (FullSystem.cc:189-311).
     Pure host numpy — no device traffic on the per-frame path."""
@@ -557,6 +567,7 @@ class FullSystem:
         self.tracker_ref_shell: Optional[FrameShell] = None
         # atomic (ref, shell) snapshot read by concurrent tracking
         self._tracker_ref_pair = (None, None)
+        self._kf_dl_pool = None    # lazy 1-worker pool for keyframe pulls
         self.last_coarse_rmse = np.full(calib.levels, np.nan)
         self.first_coarse_rmse = -1.0
         self.current_min_act_dist = 2.0
@@ -891,7 +902,6 @@ class FullSystem:
             # 2.4-6.7 s per gate trip; this path costs two programs and
             # two pulls (~0.3 s). Per-level abort threshold frozen at what
             # hypothesis 0 achieved.
-            from ldso_tpu.utils.transfer import device_get
             rest = tries[1:]
             res_best = res0 if best is not None else np.inf
             min_abort = jnp.asarray(
@@ -911,17 +921,21 @@ class FullSystem:
                     tracker_ref, pyr, T_batch, aff0,
                     jnp.float32(shell.exposure), min_abort, calib,
                     cfg, coarsest)
+                pk_dev = _pack_hypothesis_results(Tb, affb, okb, resb, flowb)
             with self.timer.stage("track.sweep_pull"):
-                # pull the whole tiny batch to host in one go and keep
-                # `best` in numpy: jax-sliced Tb[k] would compile getitem
-                # programs over the relay and the final np.asarray(T)
-                # would block on them (measured: +4.3 s on the first
-                # retrack of a run)
-                okn = device_get(okb)
-                resn = np.asarray(resb, np.float64)
-                Tn = np.asarray(Tb, np.float64)
-                affn = np.asarray(affb, np.float64)
-                flown = np.asarray(flowb, np.float64)
+                # ONE packed pull for the whole batch: each np.asarray over
+                # the relay is a full ~30-60 ms round-trip, and the five
+                # per-field pulls measured 286 ms of the ~600 ms gate-trip
+                # cost (r5 prof_pipe); jax-sliced Tb[k] would additionally
+                # compile getitem programs over the relay (+4.3 s on the
+                # first retrack of a run)
+                pk = np.asarray(pk_dev, np.float64)
+            nlv_ = calib.levels
+            Tn = pk[:, :16].reshape(-1, 4, 4)
+            affn = pk[:, 16:18]
+            okn = pk[:, 18] > 0.5
+            resn = pk[:, 19:19 + nlv_]
+            flown = pk[:, 19 + nlv_:22 + nlv_]
             resn0 = np.where(okn & np.isfinite(resn[:, 0]),
                              resn[:, 0], np.inf)
             k = int(np.argmin(resn0))
@@ -985,9 +999,10 @@ class FullSystem:
             ref, pyr, jnp.tile(eye4[None], (RETRY_K, 1, 1)),
             jnp.zeros(2, jnp.float32), jnp.float32(1.0),
             jnp.full((nlv,), 1e9, jnp.float32), calib, cfg, nlv - 1)
+        pk = _pack_hypothesis_results(*out)
         np.asarray(packed)
         np.asarray(scores)
-        np.asarray(out[0])   # real pulls: block_until_ready lies over relays
+        np.asarray(pk)   # real pulls: block_until_ready lies over relays
         self._retrack_warm = True
 
     def _keyframe_decision(self, shell: FrameShell, ref=None) -> bool:
@@ -1355,6 +1370,28 @@ class FullSystem:
             # pull flies home
             marg_handle = self.ef.marginalize_and_drop_dispatch(
                 marg_dev, drop_dev, dIs, calib.w[0], calib.h[0])
+            # start the host pull NOW on a downloader thread: over the
+            # relay `is_ready()` never reports true (BASELINE.md tunnel
+            # constants), so a handle-based finish.ready() would stay
+            # False forever while the mapping queue is busy — the
+            # deferred finish (which publishes the new tracking ref)
+            # then only ran at window drains, leaving the pipelined
+            # tracker on a stale ref for tens of frames (r5 prof_pipe:
+            # dispatch_ref pinned 44 frames behind, KF demands
+            # permanently gated, staleness death spiral)
+            if self._kf_dl_pool is None:
+                from concurrent.futures import ThreadPoolExecutor
+                self._kf_dl_pool = ThreadPoolExecutor(
+                    max_workers=1, thread_name_prefix="ldso-kf-dl")
+            marg_fut = self._kf_dl_pool.submit(
+                np.asarray, marg_handle, np.float64)
+        import os as _os
+        _t_disp = time.time()
+        if _os.environ.get("LDSO_TPU_DEBUG_KF"):
+            marg_fut.add_done_callback(
+                lambda f, t0=_t_disp, fid=shell.id: print(
+                    f"[kf-pull] frame={fid} landed after "
+                    f"{(time.time() - t0) * 1e3:.0f} ms", flush=True))
 
         # new candidate selection depends only on already-queued device
         # state; adding the candidates in the dispatch half lets the very
@@ -1404,7 +1441,7 @@ class FullSystem:
             # FEJ-fix + quality gate + Schur-marginalize + drop)
             with self.timer.stage("kf.marg_points"):
                 rec, really_marg, dropped = \
-                    self.ef.marginalize_and_drop_consume(marg_handle)
+                    self.ef.marginalize_and_drop_consume(marg_fut.result())
                 if really_marg.any():
                     self._record_retired(really_marg, rec)
                 only_drop = dropped & ~really_marg
@@ -1484,11 +1521,9 @@ class FullSystem:
             """True once every result finish() reads has landed (the point
             -marginalization packed result is the LAST program in the
             keyframe's device queue, so its transfer landing implies all
-            earlier ones did)."""
-            try:
-                return bool(marg_handle.is_ready())
-            except Exception:  # noqa: BLE001 — conservatively consumable
-                return True
+            earlier ones did). Backed by the downloader-thread pull above:
+            the raw handle's is_ready() never reports true over the relay."""
+            return marg_fut.done()
 
         finish.ready = ready
         return finish

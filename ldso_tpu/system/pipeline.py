@@ -29,6 +29,7 @@ setting_realTimeMaxKF is on. We implement the intended semantics.
 from __future__ import annotations
 
 import collections
+import os
 import threading
 from typing import Optional
 
@@ -317,6 +318,7 @@ class AsyncPipeline:
             if fs.is_lost:
                 return None
         shell = FrameShell(id=frame_id, timestamp=timestamp, exposure=exposure)
+        shell.pose_valid = False        # until its chain result is consumed
         fs.all_frames.append(shell)
         self._ingest.append((shell, image))
         if len(self._ingest) >= max(1, self.INGEST_BATCH):
@@ -360,7 +362,8 @@ class AsyncPipeline:
             staged, fut = self._upl_q.popleft()
             with fs.timer.stage("pipe.upload_wait"):
                 batch = fut.result()
-            if len(staged) > 1 and not isinstance(batch, list):
+            if (len(staged) == self.INGEST_BATCH
+                    and not isinstance(batch, list)):
                 # fused multi-frame chain program: one dispatch, one
                 # (B, P) result transfer for the whole staged batch
                 shells = [sh for sh, _ in staged]
@@ -375,11 +378,41 @@ class AsyncPipeline:
                     self.pending.append((shell, image, (pyrs, k),
                                          (grp, k), ref_shell))
             else:
-                for k, (shell, image) in enumerate(staged):
+                # PARTIAL batch (post-trip redispatch remainder, shutdown
+                # drain): per-frame chain program from the HOST images.
+                # The batched scan program's B is a compile-time shape —
+                # a partial B would trigger a fresh ~30 s remote compile
+                # per distinct size (measured: window collapsed to 1 fps
+                # on the first redispatch remainder); the per-frame
+                # program is compiled from round 1, and a device-array
+                # row slice would itself compile getitem programs
+                for shell, image in staged:
                     pyr, packed, ref_shell = fs.track_chain_dispatch(
-                        shell, batch[k] if len(staged) > 1 else batch[0])
+                        shell, image)
                     self.pending.append((shell, image, pyr, packed,
                                          ref_shell))
+
+    def _redispatch_inflight(self):
+        """Re-dispatch every not-yet-consumed frame (in flight, awaiting
+        upload, or staged) against the current tracker ref and a chain
+        rebuilt from the host mirrors. Called after a gate trip's host
+        retrack: the stale in-flight results would each trip the gate
+        again. Tracking-thread only."""
+        fs = self.fs
+        old = [(sh, img) for sh, img, _, _, _ in self.pending]
+        self.pending.clear()
+        for staged, fut in self._upl_q:
+            fut.cancel()          # a running upload just goes unused
+            old.extend(staged)
+        self._upl_q.clear()
+        old.extend(self._ingest)
+        self._ingest = []
+        fs.chain_reset()
+        self._chain_dirty = False
+        for sh, img in old:
+            self._ingest.append((sh, img))
+            if len(self._ingest) >= max(1, self.INGEST_BATCH):
+                self._flush_ingest()
 
     def _drain(self, block: bool):
         """Consume landed chain-step results in order.
@@ -393,8 +426,11 @@ class AsyncPipeline:
         block=True (chain rebuild / shutdown): consume everything."""
         fs = self.fs
         self._dispatch_ready(block=False)
-        while (self.pending or (block and self._upl_q)) and not fs.is_lost:
+        while (self.pending
+               or (block and (self._upl_q or self._ingest))) and not fs.is_lost:
             if not self.pending:
+                if self._ingest:        # partial batch left by a redispatch
+                    self._flush_ingest()
                 self._dispatch_ready(block=True)
                 continue
             head = self.pending[0][3]
@@ -409,7 +445,6 @@ class AsyncPipeline:
                     packed = grp.rows()[row]
                 consumed = fs.track_chain_consume(shell, packed, ref_shell)
             if not consumed:
-                import os
                 if os.environ.get("LDSO_TPU_DEBUG_TRIPS"):
                     pk = np.asarray(packed, np.float64) if not isinstance(
                         packed, np.ndarray) else packed
@@ -421,40 +456,46 @@ class AsyncPipeline:
                           flush=True)
                 # gate tripped: host retry sweep against the CURRENT ref
                 # (the reference also retracks against the newest KF,
-                # FullSystem.cc:104-123); the device chain continued from
-                # the bad pose, so rebuild it once the queue is empty
+                # FullSystem.cc:104-123)
                 with fs.timer.stage("pipe.retrack"):
                     ok = fs._track_new_coarse(
                         shell, image, commit_trace=False,
                         neighbors=(self._slast, self._sprelast))
-                self._chain_dirty = True
                 if not ok:
                     fs.is_lost = True
                     # frames still in flight (or staged) were never
                     # tracked: their shells must not count as posed
-                    for sh, *_ in self.pending:
-                        sh.pose_valid = False
-                    for sh, _ in self._ingest:
-                        sh.pose_valid = False
-                    for staged, _ in self._upl_q:
-                        for sh, _ in staged:
-                            sh.pose_valid = False
+                    # (they were appended with pose_valid=False)
                     return
                 # the retrack ran against the CURRENT tracker ref, so the
                 # flow/affine quantities on the shell are relative to it —
                 # base the keyframe decision on the same ref, not the
                 # dispatch-time one
                 ref_shell = fs._last_track_ref
+                # the retracked pose must be visible to the chain rebuild
+                shell.pose_valid = True
+                # the device chain continued from the bad pose and the
+                # other in-flight frames likely rode the same stale ref:
+                # consuming their results would trip (and pay a ~130 ms
+                # host retrack) for every one of them — measured cascade:
+                # 12 retracks in one 48-frame window. Re-dispatch them
+                # all against the rebuilt chain instead.
+                self._redispatch_inflight()
+            shell.pose_valid = True
             self._sprelast, self._slast = self._slast, shell
             need_kf = fs._keyframe_decision(shell, ref=ref_shell)
+            if need_kf and os.environ.get("LDSO_TPU_DEBUG_KF"):
+                print(f"[kf-demand] frame={shell.id} ref={ref_shell.id} "
+                      f"qlen={len(self.unmapped)}", flush=True)
             # slice this frame's pyramid out of a batched dispatch (plain
             # tuple; FramePyramid itself is a NamedTuple, so match exactly).
             # One jitted program (row traced): an eager tree_map getitem is
             # ~a dozen separate dispatches, several ms of host CPU per frame
             # on this single-core box
             if type(pyr) is tuple:
-                pyrs, row = pyr
-                pyr = _pyr_row(pyrs, np.int32(row))
+                with fs.timer.stage("pipe.pyr_row"):
+                    pyrs, row = pyr
+                    pyr = _pyr_row(pyrs, np.int32(row))
             with self.cond:
                 while len(self.unmapped) >= self.max_queue and self.running:
                     with fs.timer.stage("pipe.backpressure"):
@@ -548,6 +589,12 @@ class AsyncPipeline:
                     else:
                         newest_id = (fs.window_frames[-1].id
                                      if fs.window_frames else -1)
+                        if os.environ.get("LDSO_TPU_DEBUG_KF"):
+                            print(f"[kf-gate] frame={shell.id} "
+                                  f"need_after={self.need_new_kf_after} "
+                                  f"newest={newest_id} "
+                                  f"make={self.need_new_kf_after >= newest_id}",
+                                  flush=True)
                         if self.need_new_kf_after >= newest_id:
                             # the consume half of the PREVIOUS keyframe
                             # must land before the next dispatch (window
