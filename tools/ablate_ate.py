@@ -132,6 +132,10 @@ def main():
                                              kf_affine_frame_zero=False),
         "host_f64_ba": dataclasses.replace(base, ba_device_lm=False),
         "dist_map_40": dataclasses.replace(base, dist_map_steps=40),
+        # pre-r5 full-lattice final relinearize with OOB reset (vs the
+        # sliced newest-column finalize with reference sticky-OOB)
+        "ba_finalize_full": dataclasses.replace(base,
+                                                ba_finalize_sliced=False),
     }
     if args.only:
         keep = set(args.only.split(","))
