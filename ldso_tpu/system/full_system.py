@@ -1000,9 +1000,21 @@ class FullSystem:
             jnp.zeros(2, jnp.float32), jnp.float32(1.0),
             jnp.full((nlv,), 1e9, jnp.float32), calib, cfg, nlv - 1)
         pk = _pack_hypothesis_results(*out)
+        # the SLIM per-frame chain program: with batched ingest it only
+        # runs on a post-trip redispatch remainder, whose first
+        # compile/load mid-window measured ~8 s (r5 prof_clean window 2)
+        _, packed_c = _frame_step_chain(
+            img, ref, eye4, jnp.zeros(2, jnp.float32), jnp.float32(1.0),
+            jnp.full((nlv,), jnp.inf, jnp.float32), self.b_grad,
+            calib, cfg, nlv - 1)
+        chain_w = TrackChain(eye4, eye4, jnp.zeros(2, jnp.float32),
+                             jnp.full((nlv,), jnp.inf, jnp.float32))
+        T0w, _, _ = _chain_prep(chain_w, eye4)
+        _chain_update(chain_w, jnp.zeros_like(packed_c), T0w, eye4)
         np.asarray(packed)
         np.asarray(scores)
         np.asarray(pk)   # real pulls: block_until_ready lies over relays
+        np.asarray(packed_c)
         self._retrack_warm = True
 
     def _keyframe_decision(self, shell: FrameShell, ref=None) -> bool:
@@ -1360,11 +1372,19 @@ class FullSystem:
             # the tracker reference splat must see the window BEFORE
             # point marginalization (reference order:
             # setCoarseTrackingRef at :507-514 precedes
-            # flagPointsForRemoval/marginalizePointsF) — but it is only
-            # PUBLISHED after the post-BA poses land on the shells
-            # below, so the pipelined tracker never pairs the new splat
-            # with pre-BA shell poses
+            # flagPointsForRemoval/marginalizePointsF). Publish it NOW:
+            # the splat arrays are lazy device handles of the post-BA
+            # window, and the shell's T_cw (the world anchor the chain
+            # multiplies through) is the tracked pre-BA pose — off by
+            # only the BA delta for a just-tracked frame. Waiting for
+            # the post-BA pose to land cost ~150 ms of publish latency
+            # on top of the ~25-frame dispatch pipeline, leaving the
+            # tracking thread on a reference up to ~70 frames stale —
+            # the cause of every remaining retrack-gate trip (r5
+            # prof_fin log). finish() re-publishes the exact post-BA
+            # anchor below.
             pending_tracker_ref = self._dispatch_tracker_ref()
+            self._publish_tracker_ref(pending_tracker_ref)
             # queue the fused point-marginalization program on the
             # device masks directly — it computes while the post-BA
             # pull flies home
@@ -1433,8 +1453,9 @@ class FullSystem:
                 sh.aff = A[i].copy()
                 if sh.kf_id >= self.global_map.latest_optimized_kf_id:
                     sh.S_cw = sh.T_cw.copy()
-            # shells now carry post-BA poses: safe to let the tracking
-            # thread see the new reference
+            # shells now carry post-BA poses: refresh the (already
+            # published) reference so later dispatches anchor to the
+            # exact post-BA pose
             self._publish_tracker_ref(pending_tracker_ref)
             # point retirement: the fused program was dispatched before the
             # post-BA pull; its result landed with it (relinearize +

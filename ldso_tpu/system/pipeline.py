@@ -523,6 +523,8 @@ class AsyncPipeline:
         if fin is None:
             return
         self._kf_finish = None
+        if os.environ.get("LDSO_TPU_DEBUG_KF"):
+            print(f"[kf-finish] consuming (ready={fin.ready()})", flush=True)
         with self.fs.timer.stage("pipe.map_kf_finish"):
             fin()
 
