@@ -60,6 +60,8 @@ class LoopClosing:
         self.key = jax.random.PRNGKey(cfg.seed)
         self.n_loops_closed = 0
         self.loop_pairs: list = []      # (kf_id, candidate_kf_id) per close
+        self._db_order: list = []       # kf ids in database-insertion order
+        self._db_ids: set = set()
         self.need_pose_graph = False
 
     # ---------------------------------------------------------------- records
@@ -106,6 +108,51 @@ class LoopClosing:
                 found = d2[np.arange(len(sel)), j] < r * r
                 kf.feat_idepth[found] = pid[j[found]]
 
+    def _refresh_feat_depths(self, sh: FrameShell):
+        """Attach depths to features that lacked one at record time from
+        the keyframe's since-matured map points. The reference's
+        Feature.invD fills at point ACTIVATION over the keyframe's life
+        (Feature.h:77-93), long after the frame became a keyframe; our
+        record snapshot only saw the window state at creation — measured
+        on the 106-KF revisit head-to-head: out-leg kf 1 carried depth on
+        65/898 features, starving the PnP seed (4-12 depth matches < the
+        10-inlier gate) so zero loops closed. map_points (filled at point
+        marginalization, the end of each point's maturation) are exactly
+        the activated points hosted by this keyframe."""
+        if (sh.feat_uv is None or sh.feat_idepth is None
+                or not sh.map_points):
+            return
+        if getattr(sh, "_feat_depth_mp_n", -1) == len(sh.map_points):
+            return
+        sh._feat_depth_mp_n = len(sh.map_points)
+        need = sh.feat_idepth <= 0
+        if not need.any():
+            return
+        calib = self.calib
+        fx, fy = calib.fx[0], calib.fy[0]
+        cx, cy = calib.cx[0], calib.cy[0]
+        pid = np.asarray([p.idepth for p in sh.map_points], np.float32)
+        pu = np.asarray([p.u for p in sh.map_points], np.float32) * fx + cx
+        pv = np.asarray([p.v for p in sh.map_points], np.float32) * fy + cy
+        ok = pid > 0
+        if not ok.any():
+            return
+        puv = np.stack([pu[ok], pv[ok]], 1)
+        pid = pid[ok]
+        uv = sh.feat_uv[need]
+        r = 1.5                      # same radius as make_kf_record
+        try:
+            from scipy.spatial import cKDTree
+            d, j = cKDTree(puv).query(uv, distance_upper_bound=r)
+            found = np.isfinite(d)
+        except ImportError:
+            d2 = ((puv[None, :, 0] - uv[:, 0:1]) ** 2
+                  + (puv[None, :, 1] - uv[:, 1:2]) ** 2)
+            j = np.argmin(d2, axis=1)
+            found = d2[np.arange(len(uv)), j] < r * r
+        idx = np.nonzero(need)[0][found]
+        sh.feat_idepth[idx] = pid[j[found]]
+
     def _ensure_vocab(self, kf: FrameShell):
         if self.vocab is not None:
             return True
@@ -123,16 +170,25 @@ class LoopClosing:
             return True
         return False
 
-    def _add_to_db(self, kf: FrameShell):
+    def _compute_bow(self, kf: FrameShell):
         """ComputeBoW (Frame.cc:88-102): word ids for scoring + the
-        FeatureVector node ids (levelsup=4) used by SearchByBoW."""
+        FeatureVector node ids (levelsup=4) used by SearchByBoW. Does NOT
+        add to the database — the reference adds selectively (see
+        _detect_loop)."""
         wids = self.vocab.transform(jnp.asarray(kf.feat_desc),
                                     jnp.ones(len(kf.feat_desc), bool))
         kf.feat_word = np.asarray(wids, np.int32)
         kf.feat_node = self.vocab.node_ids(kf.feat_word, levelsup=4)
-        bow = self.vocab.bow_vector(wids)
-        kf.bow_vector = bow
-        self.db.add(kf.kf_id, bow)
+        kf.bow_vector = self.vocab.bow_vector(wids)
+
+    def _add_to_db(self, kf: FrameShell):
+        if kf.bow_vector is None:
+            self._compute_bow(kf)
+        if kf.kf_id in self._db_ids:
+            return
+        self.db.add(kf.kf_id, kf.bow_vector)
+        self._db_order.append(kf.kf_id)
+        self._db_ids.add(kf.kf_id)
 
     # ------------------------------------------------------------------ main
     def insert_keyframe(self, kf: FrameShell, window_kf_ids) -> bool:
@@ -143,7 +199,7 @@ class LoopClosing:
         if not self._ensure_vocab(kf):
             return False
         if kf.bow_vector is None:
-            self._add_to_db(kf)
+            self._compute_bow(kf)
 
         cand = self._detect_loop(kf, window_kf_ids)
         if cand is None:
@@ -166,19 +222,54 @@ class LoopClosing:
         return False
 
     def _detect_loop(self, kf: FrameShell, window_kf_ids) -> Optional[FrameShell]:
-        """kfGap exclusion + window exclusion + score gate
-        (DetectLoop, :95-143)."""
+        """DetectLoop (:95-143), faithful gate semantics:
+
+        * the query excludes the last kfGap DATABASE-ADDED entries (the
+          reference passes max_id = maxKFId - kfGap to Database::query);
+        * a candidate inside the [min, max] kf-id RANGE of the current
+          keyframe's covisibility-connected frames is rejected, and the
+          frame is NOT added to the database on that path;
+        * the score threshold does NOT reject the candidate — it only
+          decides whether the current frame enters the database: frames
+          whose best match already scores >= minScoreAccept are NOT added
+          (":don't add into database"). On a revisit this means the
+          return leg never enters the database, so loops can only close
+          against genuinely novel (out-leg) views — without this policy
+          a dense keyframe cadence closes temporally-adjacent same-leg
+          "loops" with degenerate baselines (measured: 34 bogus edges,
+          741 mm post-PGO ATE on the 106-KF revisit head-to-head).
+          The geometric gates in _correct_loop do the real rejection."""
+        import os
+        dbg = os.environ.get("LDSO_TPU_DEBUG_LOOP")
         cfg = self.cfg
-        exclude = set(window_kf_ids)
+        exclude = set(self._db_order[-cfg.loop_kf_gap:]) if cfg.loop_kf_gap \
+            else set()
         exclude.add(kf.kf_id)
-        exclude.update(range(max(kf.kf_id - cfg.loop_kf_gap, 0), kf.kf_id + 1))
         results = self.db.query(kf.bow_vector, exclude)
         if not results:
+            self._add_to_db(kf)
+            if dbg:
+                print(f"[loop] kf {kf.kf_id}: no candidates, added to db "
+                      f"(db={len(self._db_order)})", flush=True)
             return None
         best_id, best_score = results[0]
-        if best_score < cfg.loop_score_th:
+        cand = self.global_map.keyframes.get(best_id)
+        # covisibility-window range exclusion (GetConnectedKeyFrames)
+        connected = set(window_kf_ids) | set(kf.pose_rel.keys())
+        connected.discard(kf.kf_id)
+        if connected and min(connected) <= best_id <= max(connected):
+            if dbg:
+                print(f"[loop] kf {kf.kf_id}: cand {best_id} "
+                      f"(score {best_score:.3f}) inside connected range "
+                      f"[{min(connected)}, {max(connected)}]", flush=True)
             return None
-        return self.global_map.keyframes.get(best_id)
+        if best_score < cfg.loop_score_th:
+            self._add_to_db(kf)
+        if dbg:
+            print(f"[loop] kf {kf.kf_id}: cand {best_id} score "
+                  f"{best_score:.3f} -> correct_loop "
+                  f"(db={len(self._db_order)})", flush=True)
+        return cand
 
     @staticmethod
     def _pad_pow2(n: int, lo: int = 64) -> int:
@@ -199,7 +290,14 @@ class LoopClosing:
         scale-1 Sim(3) (cand cam -> cur cam, :235-240) or None."""
         calib = self.calib
         K = (calib.fx[0], calib.fy[0], calib.cx[0], calib.cy[0])
+        import os
         has3d = cand.feat_idepth[mj] > 0
+        if os.environ.get("LDSO_TPU_DEBUG_LOOP"):
+            print(f"[loop] seed_pnp {kf.kf_id}->{cand.kf_id}: "
+                  f"{int(has3d.sum())}/{len(mj)} matches with cand depth "
+                  f"(cand feats with depth: "
+                  f"{int((cand.feat_idepth > 0).sum())}/"
+                  f"{len(cand.feat_idepth)})", flush=True)
         if has3d.sum() < MIN_PNP_INLIERS:
             return None
         X = self._backproject(cand.feat_uv[mj], cand.feat_idepth[mj])
@@ -216,7 +314,11 @@ class LoopClosing:
         # 8 px inlier radius, as cv::solvePnPRansac(..., 8.0, ...) (:209)
         T, inl, n_inl = pnp_ransac(jnp.asarray(Xp), jnp.asarray(uvp),
                                    jnp.asarray(vp), K, sub, inlier_px=8.0)
-        if int(device_get(n_inl)) < MIN_PNP_INLIERS:
+        n_inl_h = int(device_get(n_inl))
+        if os.environ.get("LDSO_TPU_DEBUG_LOOP"):
+            print(f"[loop] seed_pnp {kf.kf_id}->{cand.kf_id}: ransac "
+                  f"inliers {n_inl_h}", flush=True)
+        if n_inl_h < MIN_PNP_INLIERS:
             return None
         S = np.asarray(T, np.float64)
         if not np.isfinite(S).all():
@@ -261,6 +363,8 @@ class LoopClosing:
         calib = self.calib
         fx, fy = calib.fx[0], calib.fy[0]
         cx, cy = calib.cx[0], calib.cy[0]
+        # the candidate's features gained depths as its points matured
+        self._refresh_feat_depths(cand)
         # records saved by older snapshots may lack orientations — degrade
         # to a no-op rotation check rather than fail the candidate
         for sh in (kf, cand):
@@ -269,10 +373,15 @@ class LoopClosing:
 
         # 1. node-bucketed descriptor matching (SearchByBoW,
         #    FeatureMatcher.cc:66-124; nnRatio=0.75 per CorrectLoop :148)
+        import os
+        dbg = os.environ.get("LDSO_TPU_DEBUG_LOOP")
         match = matcher.search_by_bow(kf.feat_desc, kf.feat_node,
                                       cand.feat_desc, cand.feat_node)
         mi = np.nonzero(match >= 0)[0]
         if len(mi) < MIN_BOW_MATCHES:       # nmatches < 10 (:163)
+            if dbg:
+                print(f"[loop] correct {kf.kf_id}->{cand.kf_id}: "
+                      f"bow matches {len(mi)} < {MIN_BOW_MATCHES}", flush=True)
             return False
         mj = match[mi]
 
@@ -281,6 +390,9 @@ class LoopClosing:
         if S0 is None:
             S0 = self._seed_umeyama(kf, cand, mi, mj)
         if S0 is None:
+            if dbg:
+                print(f"[loop] correct {kf.kf_id}->{cand.kf_id}: no seed "
+                      f"({len(mi)} bow matches)", flush=True)
             return False
 
         # 3. ComputeOptimizedPose re-matching (:271-405): project EVERY
@@ -297,6 +409,10 @@ class LoopClosing:
             (fx, fy, cx, cy), window_size=5.0)
         pm = pmatch >= 0
         if pm.sum() < MIN_BOW_MATCHES:      # nmatches < 10 (:407)
+            if dbg:
+                print(f"[loop] correct {kf.kf_id}->{cand.kf_id}: projection "
+                      f"re-match {int(pm.sum())} < {MIN_BOW_MATCHES}",
+                      flush=True)
             return False
         j = pmatch[pm]
         P_ref_m = P_ref[pm]                              # candidate frame 3D
@@ -323,6 +439,10 @@ class LoopClosing:
             (fx, fy, cx, cy), iterations=10)
         inl3d_np = np.asarray(device_get(inl3d))
         if int(inl3d_np.sum()) < MIN_SIM3_INLIERS:   # inliers < 15 (:479)
+            if dbg:
+                print(f"[loop] correct {kf.kf_id}->{cand.kf_id}: sim3 "
+                      f"inliers {int(inl3d_np.sum())} < {MIN_SIM3_INLIERS}",
+                      flush=True)
             return False
         m2 = (m_p * inl3d_np).astype(np.float32)
         S, H, inl2d2, inl3d2 = refine_sim3(
