@@ -121,11 +121,17 @@ class Config:
     ba_device_lm: bool = True
     # the post-LM final relinearization (after re-fixing the newest frame's
     # evaluation point, FullSystem.cc:833-846) touches only residuals
-    # targeting the newest frame — relinearize just that column (ba.
-    # linearize_target; also keeps the reference's sticky-OOB semantics,
-    # Residuals.cc:17-21, which the full-lattice path reset). False =
-    # full-lattice finalize with OOB reset (pre-r5 behavior, ablation).
-    ba_finalize_sliced: bool = True
+    # targeting the newest frame — True relinearizes just that column
+    # (ba.linearize_target, ~2.5 ms/keyframe off the BA device program;
+    # also keeps the reference's literal sticky-OOB early-out,
+    # Residuals.cc:17-21). Default False: the full-lattice finalize with
+    # OOB reset measures 0.1017 mm keyframe-ATE on the parity scene vs
+    # 0.1136 sliced (r5 ablation; reference 0.101 — the unlatch gives
+    # borderline residuals another chance and lands closer), and the
+    # ~2.5 ms saving is immaterial at the pipelined keyframe cadence.
+    # On the multi-depth boxes scene the sliced path is the better one
+    # (1.445 vs 1.637 mm) — scene-dependent, so the knob stays.
+    ba_finalize_sliced: bool = False
 
     # --- priors (Setting.cc:16-22) ------------------------------------------
     idepth_fix_prior: float = 50.0 * 50.0
