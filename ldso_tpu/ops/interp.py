@@ -138,55 +138,16 @@ def bilinear_packed_frames(packed_stack, fidx, x, y, channels: int):
     return out
 
 
-def bilinear_mxu(img, x, y, precision=jax.lax.Precision.HIGHEST):
-    """Bilinear sampling as an MXU matmul (no gather at all).
-
-    The row interpolation is a one-hot-weighted selection matrix
-    S (N, H) with S[n, yi_n] = 1-dy_n and S[n, yi_n+1] = dy_n, applied to
-    the image as ONE (N, H) @ (H, W*C) matmul on the systolic array; the
-    column interpolation is then a dense 2-tap weighted reduction over W.
-    Gathers on TPU serialize per index, while the matmul runs at MXU rate:
-    for the coarse tracker's point counts (N ~ 1e4) this trades ~20 GFLOP
-    of "wasted" multiply-by-zero work for the elimination of the gather
-    loop entirely.  Numerically identical to `bilinear` up to matmul
-    precision (HIGHEST = true f32; HIGH = bf16x3, ~1e-6 relative).
-
-    img: (H, W) or (H, W, C); x, y: any matching shape (flattened
-    internally, output restored to x.shape [+ channel axis]).
-    Output dtype follows img.dtype like `bilinear`.
-    """
-    H, W = img.shape[0], img.shape[1]
-    squeeze = img.ndim == 2
-    if squeeze:
-        img = img[..., None]
-    C = img.shape[2]
-    coord_shape = jnp.shape(x)
-    x = jnp.clip(jnp.ravel(x), 0.0, W - 1.001)
-    y = jnp.clip(jnp.ravel(y), 0.0, H - 1.001)
-    N = x.shape[0]
-    x0 = jnp.floor(x)
-    y0 = jnp.floor(y)
-    dx = (x - x0).astype(img.dtype)
-    dy = (y - y0).astype(img.dtype)
-    xi = x0.astype(jnp.int32)
-    yi = y0.astype(jnp.int32)
-
-    rows = jax.lax.broadcasted_iota(jnp.int32, (N, H), 1)
-    S = (jnp.where(rows == yi[:, None], 1.0 - dy[:, None], 0.0)
-         + jnp.where(rows == yi[:, None] + 1, dy[:, None], 0.0))
-    M = jax.lax.dot_general(
-        S, img.reshape(H, W * C),
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        precision=precision,
-        preferred_element_type=jnp.float32,
-    ).reshape(N, W, C)
-
-    cols = jax.lax.broadcasted_iota(jnp.int32, (N, W), 1)
-    Cw = (jnp.where(cols == xi[:, None], 1.0 - dx[:, None], 0.0)
-          + jnp.where(cols == xi[:, None] + 1, dx[:, None], 0.0))
-    out = jnp.sum(M * Cw[:, :, None], axis=1).astype(img.dtype)
-    out = out.reshape(coord_shape + (C,))
-    return out[..., 0] if squeeze else out
+# NOTE: a `bilinear_mxu` variant (bilinear sampling as a one-hot-weighted
+# selection MATMUL, no gathers) lived here through r2-r4 as a candidate
+# for gather-bound call sites. The r5 chain-slope A/B at every candidate
+# shape (tracker coarsest levels N=256-512, initializer levels N=4k-8k)
+# measured it 2-4x SLOWER than the packed-tap gather (`bilinear_packed`):
+# 0.108 vs 0.047 ms (trk L4), 0.403 vs 0.117 (trk L5), 0.180 vs 0.094
+# (init L2), 0.570 vs 0.148 ms (init L0) — the (N, H) selection matmul's
+# O(N*H*W*C) wasted FLOPs exceed the serialized-gather cost at every
+# realistic shape once taps are channel-packed. Removed per the
+# measure-or-delete rule (VERDICT r4 #6); this note is the ledger row.
 
 
 def pack_pattern(img, pattern):

@@ -12,7 +12,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from ldso_tpu.ops.interp import (bilinear, bilinear_mxu, bilinear_packed,
+from ldso_tpu.ops.interp import (bilinear, bilinear_packed,
                                  bilinear_packed_frames, pack_taps)
 
 pytestmark = pytest.mark.smoke
@@ -59,29 +59,6 @@ def test_packed_frames_matches_per_frame():
         m = np.asarray(fidx) == f
         ref = bilinear(jnp.asarray(imgs[f]), x[m], y[m])
         np.testing.assert_array_equal(np.asarray(ref), np.asarray(out)[m])
-
-
-def test_mxu_matches_bilinear():
-    """bilinear_mxu (matmul-selection formulation) vs bilinear: ~1e-6 over
-    random + border-clamped coords, (H,W) and (H,W,C), shape-preserving,
-    dtype-preserving (ADVICE r3)."""
-    rng = np.random.default_rng(4)
-    for shape in [(29, 47), (29, 47, 3)]:
-        img = jnp.asarray(rng.normal(size=shape).astype(np.float32))
-        x, y = _coords(rng, 129, 47, 29)
-        ref = bilinear(img, x, y)
-        out = bilinear_mxu(img, x, y)
-        assert out.shape == ref.shape and out.dtype == ref.dtype
-        np.testing.assert_allclose(np.asarray(ref), np.asarray(out),
-                                   rtol=2e-6, atol=2e-6)
-    # non-1D coords preserve shape (the ADVICE silent-shape-change hazard)
-    img = jnp.asarray(rng.normal(size=(21, 33, 2)).astype(np.float32))
-    x2 = jnp.asarray(rng.uniform(0, 32, (5, 7)).astype(np.float32))
-    y2 = jnp.asarray(rng.uniform(0, 20, (5, 7)).astype(np.float32))
-    out = bilinear_mxu(img, x2, y2)
-    assert out.shape == (5, 7, 2)
-    np.testing.assert_allclose(np.asarray(bilinear(img, x2, y2)),
-                               np.asarray(out), rtol=2e-6, atol=2e-6)
 
 
 def test_pattern_packed_matches_per_tap_nearest():
